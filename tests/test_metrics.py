@@ -1,0 +1,73 @@
+"""Metric parity vs NumPy oracle (reference yolov*/metrics semantics)."""
+
+import numpy as np
+
+from tf2_yolo_tpu.ops import (wrap_obj_acc, wrap_mean_iou, wrap_class_acc,
+                              wrap_recall)
+from tests.test_losses import make_data, np_iou_grid
+
+EPS = 1e-07
+
+
+def test_obj_acc_v2():
+    n, s, b, c = 2, 4, 3, 5
+    y_true, y_pred = make_data(n, s, b, c, seed=7)
+    t = y_true.reshape(n, s, s, 1, 5 + c)
+    p = y_pred.reshape(n, s, s, b, 5 + c)
+    c_true = t[..., 4]
+    c_pred = p[..., 4].max(-1, keepdims=True)
+    expected = np.mean((c_true == np.round(c_pred)).astype(np.float32))
+    got = wrap_obj_acc((s, s), b, c, version=2)(y_true, y_pred)
+    np.testing.assert_allclose(float(got), expected, rtol=1e-6)
+
+
+def test_mean_iou_v2():
+    n, s, b, c = 2, 4, 3, 5
+    y_true, y_pred = make_data(n, s, b, c, seed=8)
+    t = y_true.reshape(n, s, s, 1, 5 + c)
+    p = y_pred.reshape(n, s, s, b, 5 + c)
+    has = t[..., 4]
+    iou = np_iou_grid(t[..., :4], p[..., :4], (s, s))
+    iou = iou.max(-1, keepdims=True) * has
+    expected = iou.sum() / (has.sum() + EPS)
+    got = wrap_mean_iou((s, s), b, c, version=2)(y_true, y_pred)
+    np.testing.assert_allclose(float(got), expected, rtol=1e-5)
+
+
+def test_class_acc_v2_denominator_scaling():
+    n, s, b, c = 2, 4, 3, 5
+    y_true, y_pred = make_data(n, s, b, c, seed=9)
+    t = y_true.reshape(n, s, s, 1, 5 + c)
+    p = y_pred.reshape(n, s, s, b, 5 + c)
+    has = t[..., 4]
+    eq = (np.argmax(t[..., -c:], -1) == np.argmax(p[..., -c:], -1))
+    eq = eq.astype(np.float32) * has
+    expected = eq.sum() / (has.sum() * b + EPS)
+    got = wrap_class_acc((s, s), b, c, version=2)(y_true, y_pred)
+    np.testing.assert_allclose(float(got), expected, rtol=1e-5)
+
+
+def test_recall_perfect_prediction():
+    """A prediction identical to the label gives recall 1 (per box)."""
+    n, s, b, c = 1, 4, 2, 3
+    y_true = np.zeros((n, s, s, 5 + c), np.float32)
+    y_true[0, 1, 1] = [0.5, 0.5, 0.3, 0.3, 1, 0, 1, 0]
+    y_true[0, 2, 3] = [0.2, 0.7, 0.2, 0.4, 1, 1, 0, 0]
+    # tile the truth into each anchor slot of the prediction
+    y_pred = np.tile(y_true.reshape(n, s, s, 1, 5 + c),
+                     (1, 1, 1, b, 1)).reshape(n, s, s, b * (5 + c))
+    got = wrap_recall((s, s), b, c, iou_threshold=0.5, version=2)(
+        y_true, y_pred)
+    assert abs(float(got) - 1.0) < 1e-4
+
+
+def test_v1_metrics_run():
+    n, s, b, c = 2, 4, 3, 5
+    y_true, y_pred = make_data(n, s, b, c, v1=True, seed=10)
+    for fn in (wrap_obj_acc((s, s), b, c, version=1),
+               wrap_mean_iou((s, s), b, c, version=1),
+               wrap_class_acc((s, s), b, c, version=1),
+               wrap_recall((s, s), b, c, version=1)):
+        val = float(fn(y_true, y_pred))
+        assert np.isfinite(val)
+        assert 0.0 <= val <= 1.0 + 1e-6

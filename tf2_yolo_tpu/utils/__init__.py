@@ -1,0 +1,12 @@
+"""Host-side utilities: decode/NMS parity paths, kmeans, measurement."""
+
+from .tools import (read_img, down2xlabel, decode, nms, soft_nms,
+                    cal_iou, get_class_weight, vis_img,
+                    array_to_json, array_to_xml)
+from .kmeans import kmeans, iou, iou_dist, euclidean_dist
+
+__all__ = [
+    "read_img", "down2xlabel", "decode", "nms", "soft_nms", "cal_iou",
+    "get_class_weight", "vis_img", "array_to_json", "array_to_xml",
+    "kmeans", "iou", "iou_dist", "euclidean_dist",
+]
