@@ -1,0 +1,121 @@
+"""Model shape/structure tests (small inputs to keep CPU compile fast)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tf2_yolo_tpu.models import (YoloV1, YoloV2, YoloV3, YoloV4,
+                                 space_to_depth, upsample2x, mish)
+
+
+def init_and_apply(model, shape, train=False):
+    x = jnp.zeros(shape, jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=train,
+                      mutable=["batch_stats"] if train else False)
+    return variables, out
+
+
+def test_space_to_depth_matches_tf_order():
+    # tf.nn.space_to_depth: output channel blocks ordered row-major over
+    # the spatial block, each containing the full input channel dim.
+    x = np.arange(2 * 4 * 4 * 3).reshape(2, 4, 4, 3).astype(np.float32)
+    out = np.asarray(space_to_depth(jnp.asarray(x), 2))
+    assert out.shape == (2, 2, 2, 12)
+    np.testing.assert_array_equal(out[0, 0, 0, :3], x[0, 0, 0])
+    np.testing.assert_array_equal(out[0, 0, 0, 3:6], x[0, 0, 1])
+    np.testing.assert_array_equal(out[0, 0, 0, 6:9], x[0, 1, 0])
+    np.testing.assert_array_equal(out[0, 0, 0, 9:12], x[0, 1, 1])
+
+
+def test_upsample2x():
+    x = jnp.asarray(np.arange(4).reshape(1, 2, 2, 1).astype(np.float32))
+    out = np.asarray(upsample2x(x))
+    assert out.shape == (1, 4, 4, 1)
+    np.testing.assert_array_equal(out[0, :2, :2, 0],
+                                  [[0, 0], [0, 1 * 0 + 0]])
+
+
+def test_mish_values():
+    x = jnp.asarray([0.0, 1.0, -1.0])
+    out = np.asarray(mish(x))
+    sp = np.log1p(np.exp([0.0, 1.0, -1.0]))
+    np.testing.assert_allclose(out, [0.0, 1.0, -1.0] * np.tanh(sp),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_yolov1_shapes():
+    model = YoloV1(bbox_num=2, class_num=3)
+    _, out = init_and_apply(model, (1, 64, 64, 3))
+    assert out.shape == (1, 1, 1, 5 * 2 + 3)     # stride 64
+    out_np = np.asarray(out)
+    # sigmoid/softmax ranges
+    assert (out_np[..., :10] >= 0).all() and (out_np[..., :10] <= 1).all()
+    np.testing.assert_allclose(out_np[..., 10:].sum(-1), 1.0, rtol=1e-5)
+
+
+def test_yolov2_shapes_and_anchor_scaling():
+    anchors = [[0.1, 0.2], [0.4, 0.3]]
+    model = YoloV2(anchors=anchors, class_num=2)
+    _, out = init_and_apply(model, (1, 64, 64, 3))
+    assert out.shape == (1, 2, 2, 2 * (5 + 2))   # stride 32
+    shaped = np.asarray(out).reshape(1, 2, 2, 2, 7)
+    # wh = exp(raw) * anchor > 0, and prob rows softmax-normalized
+    assert (shaped[..., 2:4] > 0).all()
+    np.testing.assert_allclose(shaped[..., 5:].sum(-1), 1.0, rtol=1e-5)
+
+
+def test_yolov3_shapes():
+    anchors = np.full((9, 2), 0.3)
+    model = YoloV3(anchors=anchors, class_num=2)
+    _, outs = init_and_apply(model, (1, 96, 96, 3))
+    assert len(outs) == 3
+    assert outs[0].shape == (1, 3, 3, 3 * 7)     # stride 32
+    assert outs[1].shape == (1, 6, 6, 3 * 7)     # stride 16
+    assert outs[2].shape == (1, 12, 12, 3 * 7)   # stride 8
+
+
+def test_yolov3_tiny_shapes():
+    anchors = np.full((6, 2), 0.3)
+    model = YoloV3(anchors=anchors, class_num=2, backbone="tiny_darknet")
+    _, outs = init_and_apply(model, (1, 96, 96, 3))
+    assert len(outs) == 2
+    assert outs[0].shape == (1, 3, 3, 3 * 7)
+    assert outs[1].shape == (1, 6, 6, 3 * 7)
+
+
+def test_yolov4_shapes_and_anchor_params():
+    anchors = np.stack([np.linspace(0.1, 0.9, 9),
+                        np.linspace(0.2, 0.8, 9)], 1)
+    model = YoloV4(anchors=anchors, class_num=2)
+    variables, outs = init_and_apply(model, (1, 96, 96, 3))
+    assert len(outs) == 3
+    assert outs[0].shape == (1, 3, 3, 3 * 7)
+    # anchors live as per-head params, coarse level gets anchors[0:3]
+    p = variables["params"]
+    np.testing.assert_allclose(np.asarray(p["head1"]["anchors"]),
+                               anchors[:3], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p["head3"]["anchors"]),
+                               anchors[6:], rtol=1e-6)
+
+
+def test_darknet_stride2_asymmetric_padding():
+    """A stride-2 darknet conv halves odd-free dims exactly (96->48)
+    and uses top/left padding: feature at (0,0) must only see input
+    pixel (0,0) given a 3x3 identity-ish kernel."""
+    from tf2_yolo_tpu.models import ConvBN
+    conv = ConvBN(1, 3, 2, act="linear", use_bn=False, use_bias=False)
+    x = jnp.zeros((1, 6, 6, 1), jnp.float32)
+    v = conv.init(jax.random.PRNGKey(0), x)
+    assert conv.apply(v, x).shape == (1, 3, 3, 1)
+    # kernel picking center tap: out[0,0] sees padded (top-left) region
+    k = np.zeros((3, 3, 1, 1), np.float32)
+    k[1, 1, 0, 0] = 1.0   # center tap
+    v = {"params": {"conv": {"kernel": jnp.asarray(k)}}}
+    xin = np.arange(36, dtype=np.float32).reshape(1, 6, 6, 1)
+    out = np.asarray(conv.apply(v, jnp.asarray(xin)))
+    # with ((1,0),(1,0)) padding + VALID, center taps hit input pixels
+    # (0,0),(0,2),(0,4) / (2,0)... i.e. even coordinates
+    np.testing.assert_array_equal(out[0, :, :, 0],
+                                  xin[0, ::2, ::2, 0])

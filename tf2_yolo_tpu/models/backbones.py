@@ -1,0 +1,292 @@
+"""Backbone networks for YOLOv1.5/v2/v3/v4 (Flax linen, NHWC).
+
+Structural parity with the reference (cited per class); instead of
+tapping keras layer indices (43/92/152/131/204) the multi-scale
+backbones *return* their stage outputs, so FPN/PAN taps are structural
+rather than positional (SURVEY.md §7.4 hard part 4).
+
+All modules take ``train`` for BatchNorm mode and are checkpoint-
+friendly: stages are wrapped with ``nn.remat`` optionally by callers
+via ``jax.checkpoint`` on the apply fn.
+"""
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import ConvBN, ConvActBN, max_pool, upsample2x
+
+
+class DarknetV1(nn.Module):
+    """24-conv DarkNet-v1 body (reference yolov1_5/models/backbone.py:18-48).
+
+    Output stride 64 (448^2 -> 7x7). All convs keras-SAME, biased,
+    BN + LeakyReLU(0.1).
+    """
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    def conv(self, f, k, s=1):
+        return ConvBN(f, k, s, act="leaky", use_bias=True,
+                      darknet_pad=False, bn_axis_name=self.bn_axis_name,
+                      dtype=self.dtype)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = self.conv(64, 7, 2)(x, train)
+        x = max_pool(x)
+        x = self.conv(192, 3)(x, train)
+        x = max_pool(x)
+        for f, k in [(128, 1), (256, 3), (256, 1), (512, 3)]:
+            x = self.conv(f, k)(x, train)
+        x = max_pool(x)
+        for _ in range(4):
+            x = self.conv(256, 1)(x, train)
+            x = self.conv(512, 3)(x, train)
+        x = self.conv(1024, 3)(x, train)
+        x = max_pool(x)
+        for f, k in [(512, 1), (1024, 3), (512, 1), (1024, 3), (1024, 3)]:
+            x = self.conv(f, k)(x, train)
+        x = self.conv(1024, 3, 2)(x, train)
+        x = self.conv(1024, 3)(x, train)
+        x = self.conv(1024, 3)(x, train)
+        return x
+
+
+class Darknet19(nn.Module):
+    """DarkNet-19 body (reference yolov2/models/backbone.py:42-73).
+
+    Returns (passthrough, out): the stride-16 512-ch feature used by
+    the v2 passthrough (the reference taps keras layer 43, i.e. the
+    last conv5 activation before pool5) and the stride-32 1024-ch
+    output.
+    """
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    def conv(self, f, k):
+        return ConvBN(f, k, 1, act="leaky", use_bias=True,
+                      darknet_pad=False, bn_axis_name=self.bn_axis_name,
+                      dtype=self.dtype)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = self.conv(32, 3)(x, train)
+        x = max_pool(x)
+        x = self.conv(64, 3)(x, train)
+        x = max_pool(x)
+        for f, k in [(128, 3), (64, 1), (128, 3)]:
+            x = self.conv(f, k)(x, train)
+        x = max_pool(x)
+        for f, k in [(256, 3), (128, 1), (256, 3)]:
+            x = self.conv(f, k)(x, train)
+        x = max_pool(x)
+        for f, k in [(512, 3), (256, 1), (512, 3), (256, 1), (512, 3)]:
+            x = self.conv(f, k)(x, train)
+        passthrough = x                       # stride 16, 512 ch
+        x = max_pool(x)
+        for f, k in [(1024, 3), (512, 1), (1024, 3), (512, 1), (1024, 3)]:
+            x = self.conv(f, k)(x, train)
+        return passthrough, x
+
+
+class UNetBody(nn.Module):
+    """Encoder-decoder UNet body, v2 alternative backbone
+    (reference yolov2/models/backbone.py:76-108). Output stride 32
+    via two up-merges from stride 128... (5 pools then 2 ups)."""
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    def conv(self, f, k=3):
+        return ConvActBN(f, k, act="relu",
+                         bn_axis_name=self.bn_axis_name, dtype=self.dtype)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        skips = []
+        for f in (64, 128, 256, 512, 1024):
+            x = self.conv(f)(x, train)
+            x = self.conv(f)(x, train)
+            skips.append(x)
+            x = max_pool(x)
+        # two decoder stages: merge with the stride-16 and stride-8 skips
+        x = upsample2x(x)
+        x = self.conv(512, 2)(x, train)
+        x = jnp.concatenate([skips[4], x], axis=-1)
+        x = self.conv(512)(x, train)
+        x = self.conv(512)(x, train)
+
+        x = upsample2x(x)
+        x = self.conv(256, 2)(x, train)
+        x = jnp.concatenate([skips[3], x], axis=-1)
+        x = self.conv(256)(x, train)
+        x = self.conv(256)(x, train)
+        return x
+
+
+class ResBlock(nn.Module):
+    """Darknet-53 residual block: 1x1 squeeze + 3x3 expand + add
+    (reference yolov3/models/backbone.py:64-70)."""
+    features: int
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = ConvBN(self.features // 2, 1, act="leaky",
+                   bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+                   name="squeeze")(x, train)
+        y = ConvBN(self.features, 3, act="leaky",
+                   bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+                   name="expand")(y, train)
+        return x + y
+
+
+class Darknet53(nn.Module):
+    """Darknet-53 body (reference yolov3/models/backbone.py:74-82).
+
+    Returns (c3, c4, c5): stride-8 256ch / stride-16 512ch /
+    stride-32 1024ch stage outputs — the FPN taps the reference
+    reaches via keras layer indices 92 and 152
+    (yolov3/models/darknet.py:86, :92).
+    """
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype)
+        x = ConvBN(32, 3, act="leaky", **kw, name="stem")(x, train)
+        taps = {}
+        for i, (f, blocks) in enumerate(
+                [(64, 1), (128, 2), (256, 8), (512, 8), (1024, 4)]):
+            x = ConvBN(f, 3, 2, act="leaky", **kw,
+                       name=f"stage{i + 1}_down")(x, train)
+            for b in range(blocks):
+                x = ResBlock(f, **kw, name=f"stage{i + 1}_block{b + 1}")(
+                    x, train)
+            taps[f] = x
+        return taps[256], taps[512], taps[1024]
+
+
+class TinyDarknet(nn.Module):
+    """Tiny YOLOv3 backbone (reference yolov3/models/darknet.py:107-135).
+
+    Returns (c4, c5pre): the stride-16 256-ch tap and the stride-32
+    256-ch bottleneck that feed the two tiny heads.
+    """
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    def conv(self, f, k):
+        return ConvBN(f, k, act="leaky", bn_axis_name=self.bn_axis_name,
+                      dtype=self.dtype)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for f in (16, 32, 64, 128):
+            x = self.conv(f, 3)(x, train)
+            x = max_pool(x, 2, 2, "SAME")
+        x = self.conv(256, 3)(x, train)
+        tap = x                                   # stride 16, 256 ch
+        x = max_pool(x, 2, 2, "SAME")
+        x = self.conv(512, 3)(x, train)
+        x = max_pool(x, 2, 1, "SAME")             # stride-1 pool
+        x = self.conv(1024, 3)(x, train)
+        x = self.conv(256, 1)(x, train)
+        return tap, x
+
+
+class CSPResBlock(nn.Module):
+    """CSP residual module (reference yolov4/models/backbone.py:114-122)."""
+    mid: int
+    out: int
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype)
+        y = ConvBN(self.mid, 1, act="mish", **kw, name="squeeze")(x, train)
+        y = ConvBN(self.out, 3, act="mish", **kw, name="expand")(y, train)
+        return x + y
+
+
+class CSPStage(nn.Module):
+    """Cross-stage-partial stage: stride-2 down, split into a cross
+    path and a residual stack, concat, 1x1 fuse
+    (reference yolov4/models/backbone.py:125-146)."""
+    features: int
+    blocks: int
+    narrow: bool = True
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype)
+        mid = self.features // 2 if self.narrow else self.features
+        x = ConvBN(self.features, 3, 2, act="mish", **kw,
+                   name="down")(x, train)
+        cross = ConvBN(mid, 1, act="mish", **kw, name="cross")(x, train)
+        x = ConvBN(mid, 1, act="mish", **kw, name="pre")(x, train)
+        for b in range(self.blocks):
+            x = CSPResBlock(self.features // 2, mid, **kw,
+                            name=f"block{b + 1}")(x, train)
+        x = ConvBN(mid, 1, act="mish", **kw, name="post")(x, train)
+        x = jnp.concatenate([x, cross], axis=-1)
+        return ConvBN(self.features, 1, act="mish", **kw,
+                      name="out")(x, train)
+
+
+class CSPDarknet53(nn.Module):
+    """CSPDarkNet-53 body (reference yolov4/models/backbone.py:149-157).
+
+    Returns (c3, c4, c5): stride-8 256ch / stride-16 512ch /
+    stride-32 1024ch stage outputs — the PAN taps the reference
+    reaches via keras layer indices 131 and 204
+    (yolov4/models/darknet.py:100, :109).
+    """
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype)
+        x = ConvBN(32, 3, act="mish", **kw, name="stem")(x, train)
+        taps = {}
+        for i, (f, blocks, narrow) in enumerate(
+                [(64, 1, False), (128, 2, True), (256, 8, True),
+                 (512, 8, True), (1024, 4, True)]):
+            x = CSPStage(f, blocks, narrow, **kw,
+                         name=f"stage{i + 1}")(x, train)
+            taps[f] = x
+        return taps[256], taps[512], taps[1024]
+
+
+class Classifier(nn.Module):
+    """GAP + softmax classifier top shared by the darknet/darknet19/
+    darknet53/csp_darknet53 classifier builders (reference
+    yolov1_5/models/darknet.py:13-23, yolov2/models/darknet.py:18-29,
+    yolov3/models/darknet.py:19-68, yolov4/models/darknet.py:20-69).
+    """
+    backbone: nn.Module
+    class_num: int = 1000
+    conv_head: bool = False       # darknet19 uses a 1x1 conv head
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats = self.backbone(x, train)
+        if isinstance(feats, tuple):
+            feats = feats[-1]
+        if self.conv_head:
+            feats = ConvBN(self.class_num, 1, act="leaky", use_bias=True,
+                           darknet_pad=False, dtype=self.dtype)(feats, train)
+            pooled = jnp.mean(feats, axis=(1, 2))
+            return nn.softmax(pooled)
+        pooled = jnp.mean(feats, axis=(1, 2))
+        logits = nn.Dense(self.class_num, param_dtype=jnp.float32,
+                          dtype=self.dtype)(pooled)
+        return nn.softmax(logits)

@@ -1,0 +1,145 @@
+"""Building-block layers for all YOLO versions (Flax linen, NHWC).
+
+TPU-first notes:
+  - convs run in a configurable compute dtype (bf16 on TPU) with f32
+    params and f32 BatchNorm statistics; XLA fuses BN+activation into
+    the conv epilogue.
+  - Darknet's stride-2 convs use an explicit asymmetric ((1,0),(1,0))
+    top/left zero-pad + VALID conv (reference
+    yolov3/models/backbone.py:58-63, yolov4/models/backbone.py:130) —
+    this must match exactly or feature maps shift by one pixel
+    (SURVEY.md §7.4 hard part 5).
+  - BatchNorm uses tf.keras defaults (momentum 0.99, eps 1e-3) for
+    weight-transfer parity, and can sync statistics across a mesh axis
+    (``bn_axis_name``) for multi-chip training.
+"""
+
+from typing import Any, Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def mish(x):
+    """Mish activation x * tanh(softplus(x))
+    (reference yolov4/models/backbone.py:22-37)."""
+    return x * jnp.tanh(nn.softplus(x))
+
+
+_ACTS = {
+    "leaky": lambda x: nn.leaky_relu(x, negative_slope=0.1),
+    "mish": mish,
+    "relu": nn.relu,
+    "linear": lambda x: x,
+}
+
+
+class ConvBN(nn.Module):
+    """Conv2D (+ optional BatchNorm) + activation.
+
+    ``darknet_pad=True`` reproduces the Darknet stride-2 padding
+    (asymmetric top/left + VALID); otherwise keras-style SAME.
+    ``use_bn=False`` gives a plain biased conv (used by heads).
+    """
+    features: int
+    kernel: int = 3
+    strides: int = 1
+    act: str = "leaky"
+    use_bn: bool = True
+    use_bias: Optional[bool] = None       # default: not use_bn
+    darknet_pad: bool = True
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        use_bias = (not self.use_bn) if self.use_bias is None \
+            else self.use_bias
+
+        if self.strides == 2 and self.darknet_pad:
+            x = jnp.pad(x, ((0, 0), (1, 0), (1, 0), (0, 0)))
+            padding = "VALID"
+        else:
+            padding = "SAME"
+
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.strides, self.strides),
+            padding=padding,
+            use_bias=use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=nn.initializers.he_normal(),
+            name="conv")(x)
+
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.99,
+                epsilon=1e-3,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                axis_name=self.bn_axis_name if train else None,
+                name="bn")(x)
+
+        return _ACTS[self.act](x)
+
+
+class ConvActBN(nn.Module):
+    """Conv + activation + BatchNorm (the v2 UNet block order,
+    reference yolov2/models/backbone.py:21-28)."""
+    features: int
+    kernel: int = 3
+    act: str = "relu"
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    padding="SAME", use_bias=True,
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    kernel_init=nn.initializers.he_normal(),
+                    name="conv")(x)
+        x = _ACTS[self.act](x)
+        x = nn.BatchNorm(use_running_average=not train,
+                         momentum=0.99, epsilon=1e-3,
+                         dtype=self.dtype, param_dtype=jnp.float32,
+                         axis_name=self.bn_axis_name if train else None,
+                         name="bn")(x)
+        return x
+
+
+def max_pool(x, window=2, strides=None, padding="VALID"):
+    strides = strides or window
+    return nn.max_pool(x, (window, window), (strides, strides), padding)
+
+
+def upsample2x(x):
+    """Nearest-neighbor 2x upsample (keras UpSampling2D equivalent)."""
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :],
+                         (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)
+
+
+def space_to_depth(x, block=2):
+    """NHWC space-to-depth matching tf.nn.space_to_depth channel order
+    (used by the v2 passthrough, reference yolov2/models/darknet.py:47)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // block, block, w // block, block, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // block, w // block, block * block * c)
+
+
+class SPP(nn.Module):
+    """Spatial pyramid pooling: stride-1 SAME maxpools (13/9/5) concat
+    with identity (reference yolov4/models/backbone.py:176-185)."""
+    pool_sizes: Sequence[int] = (13, 9, 5)
+
+    @nn.compact
+    def __call__(self, x):
+        pools = [nn.max_pool(x, (p, p), (1, 1), "SAME")
+                 for p in self.pool_sizes]
+        return jnp.concatenate([*pools, x], axis=-1)
