@@ -1,0 +1,91 @@
+"""Benchmark: YOLOv4@416^2 training throughput (images/sec/chip).
+
+Runs the full jitted train step (forward + 3-level CIoU loss +
+backward + Adam) on the available accelerator and prints ONE JSON
+line. ``vs_baseline`` is measured against the BASELINE.md comparison
+row: the tf.keras reference publishes no numbers (SURVEY.md §6), so
+the baseline constant below is the measured-order-of-magnitude
+tf.keras GPU training throughput for YOLOv4@416 (~25 img/s on a
+datacenter GPU of the reference's era); the north-star target is 5x
+that per TPU v5e chip (BASELINE.json).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_IMG_PER_SEC = 25.0     # assumed tf.keras-GPU reference rate
+BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+SIZE = int(os.environ.get("BENCH_SIZE", "416"))
+CLASSES = int(os.environ.get("BENCH_CLASSES", "3"))   # BCCD config
+WARMUP = 3
+STEPS = int(os.environ.get("BENCH_STEPS", "10"))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tf2_yolo_tpu.models import YoloV4
+    from tf2_yolo_tpu.ops import wrap_yolo_loss_v4
+    from tf2_yolo_tpu.parallel import (make_optimizer,
+                                       create_train_state,
+                                       make_train_step)
+
+    platform = jax.devices()[0].platform
+    compute_dtype = jnp.bfloat16 if platform != "cpu" else jnp.float32
+
+    anchors = np.stack([np.linspace(0.05, 0.75, 9),
+                        np.linspace(0.07, 0.65, 9)], axis=1)
+    module = YoloV4(anchors=anchors, class_num=CLASSES,
+                    dtype=compute_dtype)
+
+    rng = np.random.RandomState(0)
+    x_np = rng.rand(BATCH, SIZE, SIZE, 3).astype(np.float32)
+    x = jnp.asarray(x_np)
+    variables = module.init(jax.random.PRNGKey(0), x[:1], train=False)
+
+    grid0 = SIZE // 32
+    loss_fns, ys = [], []
+    for level in range(3):
+        g = grid0 * (2 ** level)
+        loss_fns.append(wrap_yolo_loss_v4(
+            (g, g), 3, CLASSES, anchors[3 * level:3 * level + 3]))
+        y = np.zeros((BATCH, g, g, 5 + CLASSES), np.float32)
+        for b in range(BATCH):
+            for _ in range(4):
+                gy, gx = rng.randint(0, g, 2)
+                y[b, gy, gx, :5] = [*rng.rand(2), 0.2, 0.3, 1.0]
+                y[b, gy, gx, 5 + rng.randint(CLASSES)] = 1.0
+        ys.append(jnp.asarray(y))
+    ys = tuple(ys)
+
+    tx = make_optimizer("adam", 1e-3)
+    state = create_train_state(variables, tx)
+    step = jax.jit(make_train_step(module.apply, tx, loss_fns),
+                   donate_argnums=0)
+
+    for _ in range(WARMUP):
+        state, logs = step(state, x, ys)
+    jax.block_until_ready(logs["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, logs = step(state, x, ys)
+    jax.block_until_ready(logs["loss"])
+    dt = time.perf_counter() - t0
+
+    img_per_sec = BATCH * STEPS / dt
+    print(json.dumps({
+        "metric": f"yolov4_train_images_per_sec_{SIZE}px_b{BATCH}_"
+                  f"{platform}",
+        "value": round(img_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,21 +1,37 @@
-"""Test config: force an 8-device virtual CPU mesh before jax imports.
+"""Test config: force an 8-device virtual CPU mesh.
 
 This mirrors the reference-free distributed test strategy from
-SURVEY.md §4: CI has no TPU pod, so sharding correctness is asserted on
-a faked multi-device CPU backend.
+SURVEY.md §4: CI has no TPU pod, so sharding correctness is asserted
+on a faked multi-device CPU backend.
+
+Note: the environment may pre-import jax via a sitecustomize that
+registers a remote-TPU PJRT plugin and pins JAX_PLATFORMS at interpreter
+startup; env vars set here are then too late for jax's config snapshot,
+so the platform is forced via jax.config.update instead. XLA_FLAGS is
+still read lazily at backend init, so the virtual-device flag works
+as long as no computation ran yet.
 """
 
 import os
+import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-# persistent compile cache: repeat suite runs skip XLA recompiles
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+# persistent compile cache: repeat suite runs skip XLA recompiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ["JAX_PLATFORMS"] = "cpu"
 
-import sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on the virtual CPU mesh, got "
+    f"{jax.devices()}")
+assert len(jax.devices()) == 8, (
+    f"expected 8 virtual CPU devices, got {len(jax.devices())}")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

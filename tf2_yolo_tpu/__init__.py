@@ -24,5 +24,15 @@ __version__ = "0.1.0"
 
 from . import ops
 from . import utils
+from . import data
+from . import models
+from . import parallel
+from . import yolov1_5
+from . import yolov2
+from . import yolov3
+from . import yolov4
+from .engine import Model
 
-__all__ = ["ops", "utils", "__version__"]
+__all__ = ["ops", "utils", "data", "models", "parallel",
+           "yolov1_5", "yolov2", "yolov3", "yolov4", "Model",
+           "__version__"]

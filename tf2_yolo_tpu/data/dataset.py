@@ -105,8 +105,14 @@ class YoloDataSequence:
         self.thread_num = thread_num
         self.show_progress = show_progress
 
-        if reader not in ("cv", "PIL"):
+        if reader not in ("cv", "PIL", "native"):
             raise ValueError(f"Invalid reader: {reader}")
+        if reader == "native":
+            from .. import native
+            if not native.available():
+                raise ValueError(
+                    "native reader requested but libyolodata could "
+                    "not be built (no g++/libjpeg?)")
         if label_format not in ("labelimg", "labelme"):
             raise ValueError(f"Invalid format: {label_format}")
 
@@ -134,6 +140,10 @@ class YoloDataSequence:
 
     def _load_image(self, name, image_data=None):
         """Read + resize one image; returns (array, zoom_ratio[w, h])."""
+        if self.reader == "native" and image_data is None:
+            from .. import native
+            return native.load_image(
+                os.path.join(self.img_path, name), self.size)
         if self.reader == "cv":
             import cv2 as cv
             if image_data is not None:
@@ -192,6 +202,24 @@ class YoloDataSequence:
         encode_to_grid(boxes, labels, img.shape[:2], self.grid_shape,
                        self.class_num, out=label_batch[pos])
 
+    def _native_fast_path(self, names):
+        """Whole-batch decode+parse+encode in C++ (native reader).
+        Only for labelimg + no augmenter/preprocessing; otherwise the
+        per-image Python path below runs (with native image decode)."""
+        from .. import native
+
+        img_paths = [os.path.join(self.img_path, n) for n in names]
+        xml_paths = [os.path.join(self.label_path,
+                                  n[:n.rfind(".")] + ".xml")
+                     for n in names]
+        imgs, labels = native.load_and_encode_batch(
+            img_paths, xml_paths, self.size, self.grid_shape,
+            self.class_names,
+            threads=max(self.thread_num, 1))
+        img_batch = imgs.astype(np.float64)
+        label_batch = labels.astype(np.float64)
+        return img_batch, label_batch
+
     def __getitem__(self, idx):
         if idx >= len(self):
             raise IndexError("Sequence index out of range")
@@ -199,6 +227,18 @@ class YoloDataSequence:
         start = idx * self.batch_size
         names = self.path_list[start:start + self.batch_size]
         bsz = len(names)
+
+        if (self.reader == "native"
+                and self.label_format == "labelimg"
+                and self.augmenter is None
+                and self.preprocessing is None):
+            img_batch, label_batch = self._native_fast_path(names)
+            if self.show_progress:
+                print(f"\r{min(100, ceil((start + bsz) / total * 100)):3d}"
+                      "% read", end="")
+            if self.rescale is not None:
+                img_batch = img_batch * self.rescale
+            return img_batch, label_batch
 
         img_batch = np.empty((bsz, *self.size, 3))
         label_batch = np.zeros((bsz, *self.grid_shape,

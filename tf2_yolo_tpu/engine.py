@@ -1,0 +1,296 @@
+"""Keras-like Model engine over jit-compiled JAX train/eval steps.
+
+The reference trains with ``model.compile(...)`` + ``model.fit(...)``
+(README.md:241-288). This engine keeps that surface but executes
+TPU-first: one XLA program per step (forward + loss + backward +
+optimizer + metrics), batch sharded over a ``data`` mesh axis, model
+state replicated, gradient all-reduce and global-batch BatchNorm
+emitted by XLA's SPMD partitioner.
+
+Weights save/load uses flax msgpack serialization (the reference's
+keras .h5 role); full training-state checkpoints (params + optimizer
++ step) live in ``tf2_yolo_tpu.parallel.checkpoint``.
+"""
+
+import time
+from typing import Any, Callable, List, Optional, Sequence, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .parallel.mesh import (make_mesh, batch_sharding, replicated,
+                            best_data_axis)
+from .parallel.train import (TrainState, create_train_state,
+                             make_train_step, make_eval_step,
+                             make_optimizer)
+
+
+def _metric_name(fn, prefix=""):
+    name = getattr(fn, "__name__", "metric")
+    return f"{prefix}{name}"
+
+
+class Model:
+    """A trainable model: flax module + variables + compile/fit/predict.
+
+    Args:
+        module: a flax linen module whose ``__call__(x, train)`` returns
+            one output array or a list (multi-level heads).
+        input_shape: (H, W, C) — used for parameter init.
+        seed: PRNG seed for init.
+    """
+
+    def __init__(self, module, input_shape, seed=0):
+        self.module = module
+        self.input_shape = tuple(input_shape)
+        x0 = jnp.zeros((1, *self.input_shape), jnp.float32)
+        self.variables = module.init(jax.random.PRNGKey(seed), x0,
+                                     train=False)
+        out = jax.eval_shape(
+            lambda v, x: module.apply(v, x, train=False),
+            self.variables, x0)
+        self.output_shapes = ([o.shape for o in out]
+                              if isinstance(out, (list, tuple))
+                              else out.shape)
+        self.n_outputs = (len(out) if isinstance(out, (list, tuple))
+                          else 1)
+
+        self.default_frozen = None   # facade hook (e.g. v4 anchors)
+        self._tx = None
+        self._loss_fns = None
+        self._metric_fns = None
+        self._metric_names = None
+        self._train_step = None
+        self._eval_step = None
+        self._state = None
+        self._predict_jit = None
+
+    # ------------------------------------------------------------------
+    @property
+    def params(self):
+        if self._state is not None:
+            return self._state.params
+        return self.variables["params"]
+
+    @params.setter
+    def params(self, new_params):
+        self.variables = dict(self.variables, params=new_params)
+        if self._state is not None:
+            self._state = self._state._replace(params=new_params)
+        self._predict_jit = None
+
+    @property
+    def batch_stats(self):
+        if self._state is not None:
+            return self._state.batch_stats
+        return self.variables.get("batch_stats", {})
+
+    def count_params(self):
+        return sum(p.size for p in jax.tree_util.tree_leaves(
+            self.variables["params"]))
+
+    # ------------------------------------------------------------------
+    def compile(self, optimizer="adam", loss=None, metrics=None,
+                learning_rate=1e-4, frozen=None):
+        """Configure training.
+
+        Args:
+            optimizer: "adam"/"sgd"/"rmsprop"/"adamw" or optax transform.
+            loss: loss closure or list of closures (one per output).
+            metrics: metric closure list, or list-of-lists per output
+                (the v3/v4 facade convention).
+            learning_rate: float or optax schedule.
+            frozen: predicate (path, leaf) -> bool for frozen params.
+        """
+        if loss is None:
+            raise ValueError("compile() requires a loss")
+        if frozen is None:
+            frozen = self.default_frozen
+        loss_fns = list(loss) if isinstance(loss, (list, tuple)) \
+            else [loss] * self.n_outputs
+        if len(loss_fns) != self.n_outputs:
+            raise ValueError(
+                f"Got {len(loss_fns)} losses for {self.n_outputs} outputs")
+
+        metric_fns = None
+        metric_names = None
+        if metrics is not None:
+            if len(metrics) > 0 and isinstance(metrics[0], (list, tuple)):
+                metric_fns = [list(m) for m in metrics]
+            else:
+                metric_fns = [list(metrics)] * self.n_outputs
+            if len(metric_fns) != self.n_outputs:
+                raise ValueError(
+                    f"Got {len(metric_fns)} metric lists for "
+                    f"{self.n_outputs} outputs")
+            metric_names = []
+            for i, fns in enumerate(metric_fns):
+                prefix = f"out{i + 1}_" if self.n_outputs > 1 else ""
+                metric_names.append(
+                    [_metric_name(f, prefix) for f in fns])
+
+        self._tx = make_optimizer(optimizer, learning_rate, frozen)
+        self._loss_fns = loss_fns
+        self._metric_fns = metric_fns
+        self._metric_names = metric_names
+
+        step = make_train_step(self.module.apply, self._tx, loss_fns,
+                               metric_fns, metric_names)
+        self._train_step = jax.jit(step, donate_argnums=0)
+        self._eval_step = jax.jit(make_eval_step(
+            self.module.apply, loss_fns, metric_fns, metric_names))
+        self._state = None        # reset optimizer state
+
+    # ------------------------------------------------------------------
+    def _ensure_state(self):
+        if self._state is None:
+            if self._tx is None:
+                raise ValueError("Call compile() before fit()")
+            self._state = create_train_state(self.variables, self._tx)
+
+    def _sync_variables(self):
+        """Pull trained params/batch_stats back into self.variables."""
+        if self._state is not None:
+            self.variables = {
+                "params": self._state.params,
+                "batch_stats": self._state.batch_stats,
+            }
+
+    @staticmethod
+    def _batches(x, y, batch_size, shuffle, rng):
+        n = x.shape[0]
+        idx = np.arange(n)
+        if shuffle:
+            rng.shuffle(idx)
+        for lo in range(0, n, batch_size):
+            sel = idx[lo:lo + batch_size]
+            yb = ([yi[sel] for yi in y] if isinstance(y, (list, tuple))
+                  else y[sel])
+            yield x[sel], yb
+
+    def fit(self, x, y=None, epochs=1, batch_size=20, shuffle=True,
+            seed=None, verbose=1, validation_data=None):
+        """Train. ``x`` is an ndarray (with ``y`` labels, list for
+        multi-output models) or a sequence yielding (img, labels)."""
+        self._ensure_state()
+        rng = np.random.RandomState(seed)
+        mesh = make_mesh(best_data_axis(batch_size))
+        shard = batch_sharding(mesh)
+
+        history = {"loss": []}
+        for epoch in range(epochs):
+            t0 = time.time()
+            logs_sum, steps = {}, 0
+            if hasattr(x, "__getitem__") and y is None \
+                    and not isinstance(x, np.ndarray):
+                iterator = (x.as_iterator() if hasattr(x, "as_iterator")
+                            else (x[i] for i in range(len(x))))
+            else:
+                iterator = self._batches(np.asarray(x), y, batch_size,
+                                         shuffle, rng)
+            for xb, yb in iterator:
+                xb = jnp.asarray(xb, jnp.float32)
+                yb_t = tuple(jnp.asarray(v, jnp.float32) for v in yb) \
+                    if isinstance(yb, (list, tuple)) \
+                    else (jnp.asarray(yb, jnp.float32),)
+                if xb.shape[0] % mesh.shape["data"] == 0:
+                    xb = jax.device_put(xb, shard)
+                    yb_t = tuple(jax.device_put(v, shard) for v in yb_t)
+                self._state, logs = self._train_step(
+                    self._state, xb, yb_t)
+                steps += 1
+                for k, v in logs.items():
+                    logs_sum[k] = logs_sum.get(k, 0.0) + float(v)
+
+            means = {k: v / max(steps, 1) for k, v in logs_sum.items()}
+            if validation_data is not None:
+                val_logs = self.evaluate(*validation_data,
+                                         batch_size=batch_size,
+                                         verbose=0)
+                means.update({f"val_{k}": v for k, v in val_logs.items()})
+            for k, v in means.items():
+                history.setdefault(k, []).append(v)
+            if verbose:
+                stats = " - ".join(f"{k}: {v:.4f}"
+                                   for k, v in means.items())
+                print(f"Epoch {epoch + 1}/{epochs} - "
+                      f"{time.time() - t0:.1f}s - {stats}")
+
+        self._sync_variables()
+        return history
+
+    # ------------------------------------------------------------------
+    def evaluate(self, x, y, batch_size=20, verbose=1):
+        self._ensure_state()
+        x = np.asarray(x)
+        logs_sum, steps = {}, 0
+        for xb, yb in self._batches(x, y, batch_size, False,
+                                    np.random.RandomState(0)):
+            yb_t = tuple(jnp.asarray(v, jnp.float32) for v in yb) \
+                if isinstance(yb, (list, tuple)) \
+                else (jnp.asarray(yb, jnp.float32),)
+            logs = self._eval_step(self._state,
+                                   jnp.asarray(xb, jnp.float32), yb_t)
+            steps += 1
+            for k, v in logs.items():
+                logs_sum[k] = logs_sum.get(k, 0.0) + float(v)
+        means = {k: v / max(steps, 1) for k, v in logs_sum.items()}
+        if verbose:
+            print(" - ".join(f"{k}: {v:.4f}" for k, v in means.items()))
+        return means
+
+    # ------------------------------------------------------------------
+    def predict(self, x, batch_size=32, verbose=0):
+        """Eval-mode forward; returns ndarray or list of ndarrays
+        (multi-output), rows aligned with ``x``."""
+        if self._predict_jit is None:
+            self._predict_jit = jax.jit(
+                lambda v, xb: self.module.apply(v, xb, train=False))
+        variables = {"params": self.params,
+                     "batch_stats": self.batch_stats}
+
+        x = np.asarray(x, np.float32)
+        n = x.shape[0]
+        outs_acc = None
+        for lo in range(0, n, batch_size):
+            xb = x[lo:lo + batch_size]
+            pad = 0
+            if xb.shape[0] < batch_size and n > batch_size:
+                pad = batch_size - xb.shape[0]
+                xb = np.concatenate(
+                    [xb, np.zeros((pad, *xb.shape[1:]), xb.dtype)])
+            out = self._predict_jit(variables, jnp.asarray(xb))
+            outs = list(out) if isinstance(out, (list, tuple)) else [out]
+            outs = [np.asarray(o)[:batch_size - pad if pad else None]
+                    for o in outs]
+            if outs_acc is None:
+                outs_acc = [[o] for o in outs]
+            else:
+                for acc, o in zip(outs_acc, outs):
+                    acc.append(o)
+        result = [np.concatenate(acc, axis=0) for acc in outs_acc]
+        return result if self.n_outputs > 1 else result[0]
+
+    # ------------------------------------------------------------------
+    def save_weights(self, path):
+        """Serialize params + batch_stats (flax msgpack)."""
+        from flax import serialization
+        self._sync_variables()
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(self.variables))
+
+    def load_weights(self, path):
+        from flax import serialization
+        with open(path, "rb") as f:
+            data = f.read()
+        self.variables = serialization.from_bytes(self.variables, data)
+        self._state = None
+        self._predict_jit = None
+
+    def summary(self):
+        shapes = self.output_shapes
+        print(f"Model: {type(self.module).__name__}")
+        print(f"  input:  (N, {', '.join(map(str, self.input_shape))})")
+        print(f"  output: {shapes}")
+        print(f"  params: {self.count_params():,}")

@@ -1,0 +1,225 @@
+"""Shared facade machinery for the per-version ``Yolo`` classes.
+
+Mirrors the reference facade surface (yolov1_5/__init__.py:29-347 and
+siblings): dataset/sequence readers, vis_img, metric-spec parsing
+("obj+iou+recall0.6"), multi-level label pyramids for v3/v4, and
+pretrained-weight resolution (hosted downloads are replaced by a local
+weight cache — this framework runs with zero egress).
+"""
+
+import os
+import warnings
+from math import ceil
+
+import numpy as np
+
+from . import utils
+from .utils import tools
+from .data import YoloDataSequence
+from .ops import metrics as _metrics_mod
+
+
+class MetricKind:
+    """Names of metric kinds (reference yolov1_5/__init__.py:21-27)."""
+    obj_acc = "obj_acc"
+    mean_iou = "mean_iou"
+    class_acc = "class_acc"
+    recall = "recall"
+
+
+def weights_cache_dir():
+    return os.environ.get(
+        "TF2_YOLO_TPU_WEIGHTS",
+        os.path.join(os.path.expanduser("~"), ".tf2_yolo_tpu", "weights"))
+
+
+def resolve_pretrained(name, kind):
+    """Map a named pretrained set ("ms_coco", "pascal_voc", "imagenet")
+    to a local cache file, or None with a warning if unavailable.
+
+    The reference fetches these from GitHub releases with
+    tf.keras.utils.get_file (yolov3/models/darknet.py:15-17,
+    yolov4/models/darknet.py:14-17); in a no-egress deployment the
+    files must be pre-placed under ``weights_cache_dir()``.
+    """
+    if name is None:
+        return None
+    if os.path.isfile(name):
+        return name
+    candidate = os.path.join(weights_cache_dir(), f"{kind}_{name}.msgpack")
+    if os.path.isfile(candidate):
+        return candidate
+    warnings.warn(
+        f"Pretrained weights '{name}' for {kind} not found at "
+        f"{candidate}; using random initialization. Place converted "
+        "weights there to enable them.")
+    return None
+
+
+class _LabelPyramidSequence:
+    """Wrap a YoloDataSequence to emit the FPN label pyramid lazily,
+    coarsest level first (reference yolov3/__init__.py:41-53)."""
+
+    def __init__(self, seq, num_levels):
+        self.seq = seq
+        self.num_levels = num_levels
+
+    def __len__(self):
+        return len(self.seq)
+
+    def __getitem__(self, idx):
+        img, label = self.seq[idx]
+        labels = [label]
+        for _ in range(self.num_levels - 1):
+            label = utils.down2xlabel(label)
+            labels.insert(0, label)
+        return img, labels
+
+    def as_iterator(self, prefetch=2):
+        import queue
+        import threading
+
+        q = queue.Queue(maxsize=prefetch)
+        sentinel = object()
+
+        def producer():
+            for i in range(len(self)):
+                q.put(self[i])
+            q.put(sentinel)
+
+        threading.Thread(target=producer, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+
+
+class YoloBase:
+    """Common facade: construction params, readers, vis, metric spec."""
+
+    version = None          # 1, 2, 3 or 4
+    stride = 32             # output stride of the coarsest level
+    num_levels = 1          # FPN/PAN levels
+
+    def __init__(self, input_shape, class_names):
+        self.input_shape = tuple(input_shape)
+        self.grid_shape = (input_shape[0] // self.stride,
+                           input_shape[1] // self.stride)
+        self.class_names = list(class_names)
+        self.class_num = len(self.class_names)
+        self.model = None
+        self.file_names = None
+
+    # -- bbox_num accessor overridden per version ----------------------
+    @property
+    def _bbox_num(self):
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    def _finest_grid(self):
+        amp = 2 ** (self.num_levels - 1)
+        return (self.grid_shape[0] * amp, self.grid_shape[1] * amp)
+
+    def read_file_to_dataset(
+            self, img_path=None, label_path=None,
+            label_format="labelimg", rescale=1 / 255,
+            preprocessing=None, shuffle=True, seed=None,
+            encoding="big5", thread_num=10):
+        """Read a whole annotation folder into ndarrays.
+
+        Returns (img, label) for single-level versions, or
+        (img, [label_coarse, ..., label_fine]) for v3/v4
+        (reference yolov3/__init__.py:183-249).
+        """
+        seq = YoloDataSequence(
+            img_path=img_path, label_path=label_path,
+            label_format=label_format, size=self.input_shape[:2],
+            rescale=rescale, preprocessing=preprocessing,
+            grid_shape=self._finest_grid(),
+            class_names=self.class_names, shuffle=shuffle, seed=seed,
+            encoding=encoding, thread_num=thread_num,
+            show_progress=True)
+        self.file_names = seq.path_list
+        seq.batch_size = max(len(seq.path_list), 1)
+        img, label = seq[0]
+
+        if self.num_levels == 1:
+            return img, label
+        labels = [label]
+        for _ in range(self.num_levels - 1):
+            label = utils.down2xlabel(label)
+            labels.insert(0, label)
+        return img, labels
+
+    def read_file_to_sequence(
+            self, img_path=None, label_path=None, batch_size=20,
+            label_format="labelimg", rescale=1 / 255,
+            preprocessing=None, augmenter=None, shuffle=True,
+            seed=None, encoding="big5", thread_num=1):
+        """Lazy batched reader; v3/v4 emit the label pyramid per batch."""
+        seq = YoloDataSequence(
+            img_path=img_path, label_path=label_path,
+            batch_size=batch_size, label_format=label_format,
+            size=self.input_shape[:2], rescale=rescale,
+            preprocessing=preprocessing,
+            grid_shape=self._finest_grid(),
+            class_names=self.class_names, augmenter=augmenter,
+            shuffle=shuffle, seed=seed, encoding=encoding,
+            thread_num=thread_num)
+        self.file_names = seq.path_list
+        if self.num_levels == 1:
+            return seq
+        return _LabelPyramidSequence(seq, self.num_levels)
+
+    # ------------------------------------------------------------------
+    def vis_img(self, img, *label_datas, conf_threshold=0.5,
+                show_conf=True, nms_mode=0, nms_threshold=0.5,
+                nms_sigma=0.5, **kwargs):
+        """Visualize grid label(s)/prediction(s) on an image."""
+        return tools.vis_img(
+            img, *label_datas, class_names=self.class_names,
+            conf_threshold=conf_threshold, show_conf=show_conf,
+            nms_mode=nms_mode, nms_threshold=nms_threshold,
+            nms_sigma=nms_sigma, version=self.version, **kwargs)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _parse_recall_threshold(kind):
+        thr = kind[kind.find("recall") + 6:]
+        end = thr.rfind("+")
+        thr = thr[:end if end >= 0 else None]
+        return float(thr) if thr else 0.5
+
+    def metrics(self, kind="obj_acc"):
+        """Build metric closures from a spec string like
+        "obj+iou+recall0.6". Returns a flat list (v1/v2) or a
+        list-of-lists per output level (v3/v4), matching the reference
+        return conventions."""
+        per_level = []
+        for level in range(self.num_levels):
+            amp = 2 ** level
+            grid_shape = (self.grid_shape[0] * amp,
+                          self.grid_shape[1] * amp)
+            fns = []
+            if "obj" in kind:
+                fns.append(_metrics_mod.wrap_obj_acc(
+                    grid_shape, self._bbox_num, self.class_num,
+                    version=self.version))
+            if "iou" in kind:
+                fns.append(_metrics_mod.wrap_mean_iou(
+                    grid_shape, self._bbox_num, self.class_num,
+                    version=self.version))
+            if "class" in kind:
+                fns.append(_metrics_mod.wrap_class_acc(
+                    grid_shape, self._bbox_num, self.class_num,
+                    version=self.version))
+            if "recall" in kind:
+                fns.append(_metrics_mod.wrap_recall(
+                    grid_shape, self._bbox_num, self.class_num,
+                    iou_threshold=self._parse_recall_threshold(kind),
+                    version=self.version))
+            per_level.append(fns)
+        if self.num_levels == 1:
+            return per_level[0]
+        return per_level

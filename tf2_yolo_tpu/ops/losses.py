@@ -93,10 +93,10 @@ def wrap_yolo_loss_v1(grid_shape,
         p_pred = jnp.clip(y_pred[..., -class_num:], EPSILON, 1 - EPSILON)
         p_loss = -_sum_batch_mean(has_obj * p_true * jnp.log(p_pred))
 
-        return (loss_weight[0] * xy_loss
-                + loss_weight[1] * wh_loss
-                + loss_weight[2] * c_loss
-                + loss_weight[3] * p_loss)
+        return jnp.mean(loss_weight[0] * xy_loss
+                        + loss_weight[1] * wh_loss
+                        + loss_weight[2] * c_loss
+                        + loss_weight[3] * p_loss)
 
     return yolo_loss
 
@@ -151,11 +151,11 @@ def wrap_yolo_loss_v2(grid_shape,
 
         regularizer = _sum_batch_mean(jnp.square(wh_pred)) * 0.01
 
-        return (loss_weight[0] * xy_loss
-                + loss_weight[1] * wh_loss
-                + loss_weight[2] * c_loss
-                + loss_weight[3] * p_loss
-                + regularizer)
+        return jnp.mean(loss_weight[0] * xy_loss
+                        + loss_weight[1] * wh_loss
+                        + loss_weight[2] * c_loss
+                        + loss_weight[3] * p_loss
+                        + regularizer)
 
     return yolo_loss
 
@@ -228,11 +228,11 @@ def wrap_yolo_loss_v3(grid_shape,
 
         regularizer = _sum_batch_mean(jnp.square(wh_pred)) * 0.01
 
-        return (loss_weight[0] * xy_loss
-                + loss_weight[1] * wh_loss
-                + loss_weight[2] * c_loss
-                + loss_weight[3] * p_loss
-                + regularizer)
+        return jnp.mean(loss_weight[0] * xy_loss
+                        + loss_weight[1] * wh_loss
+                        + loss_weight[2] * c_loss
+                        + loss_weight[3] * p_loss
+                        + regularizer)
 
     return yolo_loss
 
@@ -303,9 +303,9 @@ def wrap_yolo_loss_v4(grid_shape,
         wh_pred = jnp.log(y_pred[..., 2:4] / panchors)
         wh_reg = _sum_batch_mean(jnp.square(wh_pred))
 
-        return (loss_weight[0] * box_loss
-                + loss_weight[1] * c_loss
-                + loss_weight[2] * p_loss
-                + wh_reg_weight * wh_reg)
+        return jnp.mean(loss_weight[0] * box_loss
+                        + loss_weight[1] * c_loss
+                        + loss_weight[2] * p_loss
+                        + wh_reg_weight * wh_reg)
 
     return yolo_loss

@@ -1,0 +1,119 @@
+"""On-device NMS family: greedy, DIoU, and Soft-NMS, static shapes.
+
+The reference suppresses with Python whitelist loops over dynamic
+arrays (utils/tools.py:719-729, :772-781). On TPU the same semantics
+become: sort by joint confidence (descending), one pairwise IoU/DIoU
+matrix on the (K, K) lattice (VPU-friendly), and a ``lax.scan``
+realizing the sequential suppression/decay — per image via ``vmap``.
+
+Class-wise behavior falls out of masking the IoU matrix to same-class
+pairs, so one scan handles all classes at once instead of the
+reference's per-class Python loop.
+
+Semantics parity notes:
+  - greedy: a suppressed box never suppresses others; earlier
+    (higher-conf) boxes are never suppressed by later ones.
+  - soft: every box (even one already dropped) decays its later
+    overlaps by exp(-iou^2/sigma); survivors keep original rows;
+    iteration order is fixed by the ORIGINAL joint confidence.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .geometry import pair_iou
+
+
+def _sorted_by_conf(rows, valid):
+    joint = rows[..., 4] * rows[..., 6]
+    joint = jnp.where(valid, joint, -jnp.inf)
+    order = jnp.argsort(-joint)
+    rows = jnp.take_along_axis(rows, order[..., None], axis=0)
+    valid = jnp.take_along_axis(valid, order, axis=0)
+    return rows, valid
+
+
+def _pair_matrix(rows, iou_mode):
+    ious = pair_iou(rows[:, None, :4], rows[None, :, :4],
+                    mode=iou_mode)                       # K,K
+    same_class = rows[:, None, 5] == rows[None, :, 5]
+    return jnp.where(same_class, ious, -jnp.inf)
+
+
+def _nms_single(rows, valid, nms_threshold, iou_mode):
+    """One image. rows (K, 7), valid (K,). Returns keep mask (K,)."""
+    rows, valid = _sorted_by_conf(rows, valid)
+    k = rows.shape[0]
+    ious = _pair_matrix(rows, iou_mode)
+    later = (jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+             > jax.lax.broadcasted_iota(jnp.int32, (k, k), 0))
+
+    def body(suppressed, i):
+        keep_i = valid[i] & ~suppressed[i]
+        newly = keep_i & later[i] & (ious[i] >= nms_threshold)
+        return suppressed | newly, None
+
+    suppressed, _ = jax.lax.scan(
+        body, jnp.zeros((k,), bool), jnp.arange(k))
+    return rows, valid & ~suppressed
+
+
+def _soft_nms_single(rows, valid, nms_threshold, conf_threshold, sigma):
+    rows, valid = _sorted_by_conf(rows, valid)
+    k = rows.shape[0]
+    ious = _pair_matrix(rows, 1)
+    later = (jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+             > jax.lax.broadcasted_iota(jnp.int32, (k, k), 0))
+    conf0 = rows[..., 4] * rows[..., 6]
+
+    def body(carry, i):
+        conf, deleted = carry
+        overlap = later[i] & (ious[i] >= nms_threshold) & valid
+        decay = jnp.where(overlap,
+                          jnp.exp(-(ious[i] ** 2) / sigma), 1.0)
+        conf = conf * jnp.where(valid[i], decay, 1.0)
+        deleted = deleted | (valid[i] & overlap
+                             & (conf < conf_threshold))
+        return (conf, deleted), None
+
+    (_, deleted), _ = jax.lax.scan(
+        body, (conf0, jnp.zeros((k,), bool)), jnp.arange(k))
+    return rows, valid & ~deleted
+
+
+@partial(jax.jit, static_argnames=("iou_mode",))
+def nms(rows, valid, nms_threshold=0.45, iou_mode=1):
+    """Batched greedy NMS. rows (N, K, 7) from ``decode``; returns
+    (rows_sorted, keep) with the same static shapes."""
+    return jax.vmap(
+        lambda r, v: _nms_single(r, v, nms_threshold, iou_mode))(
+        rows, valid)
+
+
+@jax.jit
+def soft_nms(rows, valid, nms_threshold=0.45, conf_threshold=0.5,
+             sigma=0.5):
+    """Batched Soft-NMS (Gaussian decay, original rows kept)."""
+    return jax.vmap(
+        lambda r, v: _soft_nms_single(
+            r, v, nms_threshold, conf_threshold, sigma))(rows, valid)
+
+
+def apply_nms_device(rows, valid, class_num=None, nms_mode=1,
+                     nms_threshold=0.45, conf_threshold=0.5,
+                     nms_sigma=0.5):
+    """Dispatch matching the host ``utils.tools.apply_nms`` modes:
+    0 none, 1 NMS, 2 Soft-NMS, 3 DIoU-NMS. ``class_num`` is implicit
+    (class ids ride in rows[..., 5])."""
+    if nms_mode == 0:
+        return rows, valid
+    if nms_mode == 1:
+        return nms(rows, valid, nms_threshold, iou_mode=1)
+    if nms_mode == 2:
+        return soft_nms(rows, valid, nms_threshold, conf_threshold,
+                        nms_sigma)
+    if nms_mode == 3:
+        return nms(rows, valid, nms_threshold, iou_mode=2)
+    raise ValueError(f"Invalid nms_mode: {nms_mode}")

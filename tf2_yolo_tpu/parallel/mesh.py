@@ -1,0 +1,52 @@
+"""Device mesh + sharding helpers.
+
+The reference is single-device (SURVEY.md §2.3: no tf.distribute
+anywhere); here data parallelism is first-class: a 1-axis ``data``
+mesh (extensible with a ``model`` axis) over which the train step is
+jit-compiled with GSPMD sharding annotations. Gradient all-reduce and
+cross-replica BatchNorm statistics come out of XLA's partitioner as
+ICI collectives — no hand-written communication.
+"""
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Create a ("data", "model") mesh.
+
+    Args:
+        n_data: size of the data axis (default: all devices / n_model).
+        n_model: size of the model axis (reserved for future tensor
+            parallelism; 1 for these CNN sizes).
+        devices: explicit device list (default jax.devices()).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    use = np.array(devices[:n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(use, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def best_data_axis(batch_size: int, max_devices: Optional[int] = None
+                   ) -> int:
+    """Largest device count <= max_devices that divides batch_size
+    (GSPMD shards must be equal-sized)."""
+    n = max_devices if max_devices is not None else len(jax.devices())
+    for k in range(min(n, batch_size), 0, -1):
+        if batch_size % k == 0:
+            return k
+    return 1

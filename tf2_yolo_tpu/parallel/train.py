@@ -1,0 +1,144 @@
+"""Train/eval step factories: pure functions jit-compiled over a mesh.
+
+The whole train step — forward (BN in batch mode), multi-level loss,
+backward, optimizer update, metric computation — is one XLA program.
+Under a ("data",) mesh with the batch sharded on ``data`` and state
+replicated, XLA's SPMD partitioner inserts the gradient all-reduce and
+makes BatchNorm statistics global-batch statistics automatically.
+"""
+
+from typing import Any, Callable, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_train_state(variables, tx) -> TrainState:
+    params = variables["params"]
+    return TrainState(
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32))
+
+
+def _as_tuple(x):
+    if isinstance(x, (list, tuple)):
+        return tuple(x)
+    return (x,)
+
+
+def make_train_step(apply_fn: Callable,
+                    tx: optax.GradientTransformation,
+                    loss_fns: Sequence[Callable],
+                    metric_fns: Optional[Sequence[Sequence[Callable]]]
+                    = None,
+                    metric_names: Optional[Sequence[Sequence[str]]]
+                    = None):
+    """Build ``train_step(state, x, y_tuple) -> (state, logs)``.
+
+    loss_fns: one loss per model output (summed).
+    metric_fns/metric_names: per-output lists of metric closures.
+    """
+    loss_fns = list(loss_fns)
+
+    def train_step(state: TrainState, x, ys):
+        ys = _as_tuple(ys)
+
+        def loss_fn(params):
+            outs, mutated = apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                x, train=True, mutable=["batch_stats"])
+            outs_t = _as_tuple(outs)
+            total = jnp.float32(0.0)
+            for lf, y_i, o_i in zip(loss_fns, ys, outs_t):
+                total = total + lf(y_i, o_i)
+            return total, (outs_t, mutated["batch_stats"])
+
+        (loss, (outs_t, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        logs = {"loss": loss}
+        if metric_fns is not None:
+            for i, (fns, names, y_i, o_i) in enumerate(
+                    zip(metric_fns, metric_names, ys, outs_t)):
+                for fn, name in zip(fns, names):
+                    logs[name] = fn(y_i, o_i)
+
+        return TrainState(new_params, new_bs, new_opt,
+                          state.step + 1), logs
+
+    return train_step
+
+
+def make_eval_step(apply_fn: Callable,
+                   loss_fns: Sequence[Callable],
+                   metric_fns=None, metric_names=None):
+    """Build ``eval_step(state, x, y_tuple) -> logs`` (eval-mode BN)."""
+    loss_fns = list(loss_fns)
+
+    def eval_step(state: TrainState, x, ys):
+        ys = _as_tuple(ys)
+        outs = apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, train=False)
+        outs_t = _as_tuple(outs)
+        total = jnp.float32(0.0)
+        for lf, y_i, o_i in zip(loss_fns, ys, outs_t):
+            total = total + lf(y_i, o_i)
+        logs = {"loss": total}
+        if metric_fns is not None:
+            for fns, names, y_i, o_i in zip(
+                    metric_fns, metric_names, ys, outs_t):
+                for fn, name in zip(fns, names):
+                    logs[name] = fn(y_i, o_i)
+        return logs
+
+    return eval_step
+
+
+def make_optimizer(optimizer="adam", learning_rate=1e-4,
+                   frozen: Optional[Callable] = None
+                   ) -> optax.GradientTransformation:
+    """Build an optax transform from a keras-style spec.
+
+    Args:
+        optimizer: "adam" | "sgd" | "rmsprop" | "adamw" or an optax
+            GradientTransformation (returned unchanged).
+        learning_rate: float or optax schedule.
+        frozen: optional predicate (path_tuple, leaf) -> bool marking
+            parameters to freeze (e.g. v4 anchors when
+            ``anchors_trainable`` is False).
+    """
+    if isinstance(optimizer, optax.GradientTransformation):
+        tx = optimizer
+    elif optimizer == "adam":
+        tx = optax.adam(learning_rate)
+    elif optimizer == "adamw":
+        tx = optax.adamw(learning_rate)
+    elif optimizer == "sgd":
+        tx = optax.sgd(learning_rate, momentum=0.9)
+    elif optimizer == "rmsprop":
+        tx = optax.rmsprop(learning_rate)
+    else:
+        raise ValueError(f"Unknown optimizer: {optimizer}")
+
+    if frozen is not None:
+        def label_fn(params):
+            flat = jax.tree_util.tree_map_with_path(
+                lambda path, leaf: "frozen" if frozen(path, leaf)
+                else "train", params)
+            return flat
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, label_fn)
+    return tx

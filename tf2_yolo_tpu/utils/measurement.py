@@ -1,0 +1,283 @@
+"""Offline evaluation: precision/recall/F1 score matrix and PR-curve /
+mAP (reference utils/measurement.py parity).
+
+``create_score_mat`` and ``PRfunc`` keep the reference's printed
+pandas artifacts and numeric conventions:
+  - per-image decode (GT at threshold 0.5, predictions at
+    ``conf_threshold``) + optional NMS (measurement.py:76-91);
+  - class-wise IoU matching, TPP vs TP (unique matched GT) counting,
+    3 precision modes (measurement.py:107-136);
+  - PRfunc accumulates (joint_conf, matched_gt_id, tp_mask) rows with
+    a ``max_per_img`` cap, then sweeps a running precision/recall
+    curve (measurement.py:282-323);
+  - get_map modes voc2007 / voc2012 / area / smootharea
+    (measurement.py:393-447).
+"""
+
+import warnings
+
+import numpy as np
+
+from .tools import decode, cal_iou, apply_nms
+
+
+def _decode_pair(y_true, y_pred_list, class_num, conf_threshold,
+                 nms_mode, nms_threshold, nms_sigma, version):
+    """Decode one image's GT + predictions, NMS on predictions."""
+    xywhcp_true = decode(y_true, class_num=class_num, version=version)
+    xywhcp_pred = decode(*y_pred_list, class_num=class_num,
+                         threshold=conf_threshold, version=version)
+    xywhcp_pred = apply_nms(xywhcp_pred, class_num, nms_mode,
+                            nms_threshold, conf_threshold, nms_sigma)
+    return xywhcp_true, xywhcp_pred
+
+
+def _split_rows(xywhcp):
+    """(rows, class_idx array) with empty-safe class extraction."""
+    if len(xywhcp) > 0:
+        return xywhcp, xywhcp[..., 5].astype("int")
+    return xywhcp, np.array([], dtype=int)
+
+
+def create_score_mat(y_trues, *y_preds,
+                     class_names=[],
+                     conf_threshold=0.5,
+                     nms_mode=0,
+                     nms_threshold=0.5,
+                     nms_sigma=0.5,
+                     iou_threshold=0.5,
+                     precision_mode=2,
+                     version=3):
+    """Precision/recall/F1/gts/dets table per class.
+
+    precision modes (reference measurement.py:51-57):
+        0: TPP/PP   1: TP/(PP-(TPP-TP))   2: TP/PP
+    """
+    import pandas as pd
+
+    class_num = len(class_names)
+    pp_p = np.zeros((class_num, 2))        # [pred positives, positives]
+    tp = np.zeros((class_num, 2))          # [tpp, tp]
+    det_counts = np.zeros((class_num,), dtype="int")
+
+    for i_img in range(len(y_trues)):
+        pred_list = [y_preds[j][i_img] for j in range(len(y_preds))]
+        true_rows, pred_rows = _decode_pair(
+            y_trues[i_img], pred_list, class_num, conf_threshold,
+            nms_mode, nms_threshold, nms_sigma, version)
+        true_rows, true_cls = _split_rows(true_rows)
+        pred_rows, pred_cls = _split_rows(pred_rows)
+
+        for ci in range(class_num):
+            t = true_rows[true_cls == ci][..., :5] \
+                if len(true_rows) else np.zeros((0, 5))
+            p = pred_rows[pred_cls == ci][..., :5] \
+                if len(pred_rows) else np.zeros((0, 5))
+            pp_p[ci] += (len(p), len(t))
+            det_counts[ci] += len(p)
+            if len(t) == 0 or len(p) == 0:
+                continue
+            ious = cal_iou(t.reshape(-1, 1, 5), p.reshape(1, -1, 5))
+            best_iou = ious.max(axis=0)
+            best_gt = ious.argmax(axis=0)
+            hit = best_iou >= iou_threshold
+            num_tpp = int(hit.sum())
+            num_tp = len(set(best_gt[hit]))
+            if precision_mode == 1:
+                pp_p[ci, 0] -= (num_tpp - num_tp)
+            if precision_mode > 0:
+                num_tpp = num_tp
+            tp[ci] += (num_tpp, num_tp)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        table = np.true_divide(tp, pp_p)
+    score_table = pd.DataFrame(table, columns=["precision", "recall"])
+    prec, rec = score_table["precision"], score_table["recall"]
+    score_table["F1-score"] = 2 * prec * rec / (prec + rec)
+    score_table["gts"] = pp_p[:, 1].astype("int")
+    score_table["dets"] = det_counts
+    score_table.index = class_names
+    return score_table
+
+
+class PRfunc:
+    """Callable precision-at-recall built from a detection sweep.
+
+    Call with (recall, class_idx) -> precision. Also provides
+    ``plot_pr_curve`` and ``get_map``.
+    """
+
+    def __init__(self, y_trues, *y_preds,
+                 class_names=[],
+                 conf_threshold=0.05,
+                 nms_mode=1,
+                 nms_threshold=0.5,
+                 nms_sigma=0.5,
+                 iou_threshold=0.5,
+                 precision_mode=2,
+                 max_per_img=100,
+                 version=3):
+        class_num = len(class_names)
+        self.class_num = class_num
+        self.class_names = list(class_names)
+
+        gts = [0] * class_num
+        detections = [np.empty((0, 3), dtype="float32")
+                      for _ in range(class_num)]
+
+        for i_img in range(len(y_trues)):
+            pred_list = [y_preds[j][i_img] for j in range(len(y_preds))]
+            true_rows, pred_rows = _decode_pair(
+                y_trues[i_img], pred_list, class_num, conf_threshold,
+                nms_mode, nms_threshold, nms_sigma, version)
+            true_rows, true_cls = _split_rows(true_rows)
+            pred_rows, pred_cls = _split_rows(pred_rows)
+
+            for ci in range(class_num):
+                t = true_rows[true_cls == ci][..., :5] \
+                    if len(true_rows) else np.zeros((0, 5))
+                sel = pred_cls == ci
+                p = pred_rows[sel][..., :5] \
+                    if len(pred_rows) else np.zeros((0, 5))
+                gt_base = gts[ci]
+                gts[ci] = gt_base + len(t)
+                if len(p) == 0:
+                    continue
+
+                joint_conf = p[:, 4] * pred_rows[sel][:, 6]
+                if len(t) > 0:
+                    ious = cal_iou(t.reshape(-1, 1, 5),
+                                   p.reshape(1, -1, 5))
+                    hit = (ious.max(axis=0)
+                           >= iou_threshold).astype("float32")
+                    gt_id = ious.argmax(axis=0) + gt_base
+                else:
+                    hit = np.zeros((len(p),), dtype="float32")
+                    gt_id = hit
+                rows = np.stack((joint_conf, gt_id, hit), axis=1)
+                if max_per_img is not None and len(rows) > max_per_img:
+                    order = np.argsort(rows[:, 0])[::-1]
+                    rows = rows[order][:max_per_img]
+                detections[ci] = np.vstack((detections[ci], rows))
+
+        # running precision/recall sweep, terminal point appended
+        self.precisions, self.recalls = [], []
+        for ci in range(class_num):
+            num_gts = gts[ci]
+            rows = detections[ci]
+            order = np.argsort(rows[:, 0])[::-1]
+            rows = rows[order]
+            precisions, recalls = [], []
+            seen_gt = set()
+            num_tpp = 0
+            num_tp = 0
+            for k in range(len(rows)):
+                conf, gt_id, hit = rows[k]
+                if hit:
+                    num_tpp += 1
+                    if gt_id not in seen_gt:
+                        seen_gt.add(gt_id)
+                        num_tp += 1
+                dets = k + 1
+                fp = dets - num_tpp
+                if precision_mode == 0:
+                    precision = num_tpp / dets
+                elif precision_mode == 1:
+                    precision = num_tp / (num_tp + fp)
+                else:
+                    precision = num_tp / dets
+                precisions.append(precision)
+                recalls.append(num_tp / num_gts if num_gts else 0.0)
+            precisions.append(0)
+            recalls.append(num_tp / num_gts if num_gts else 0.0)
+            self.precisions.append(np.array(precisions))
+            self.recalls.append(np.array(recalls))
+
+    # ------------------------------------------------------------------
+    def __call__(self, recall, class_idx=0):
+        if class_idx >= self.class_num:
+            raise IndexError("Class index out of range")
+        precisions = self.precisions[class_idx]
+        recalls = self.recalls[class_idx]
+        n_above = int((recalls > recall).sum())
+        if n_above == 0:
+            return 0
+        return precisions[-n_above:].max()
+
+    @staticmethod
+    def _interpolate(precision):
+        """Monotone non-increasing envelope from the right."""
+        out = precision.copy()
+        running_max = 0
+        for i in range(len(out) - 1, -1, -1):
+            if out[i] > running_max:
+                running_max = out[i]
+            else:
+                out[i] = running_max
+        return out
+
+    def plot_pr_curve(self, class_idx=-1, smooth=False,
+                      figsize=None, return_fig=False):
+        """Plot PR curve(s); ``smooth`` uses interpolated precision."""
+        import matplotlib.pyplot as plt
+
+        if class_idx >= self.class_num:
+            raise IndexError("Class index out of range")
+        sel = (slice(class_idx, class_idx + 1) if class_idx >= 0
+               else slice(None))
+        fig = plt.figure(figsize=figsize)
+        for precision, recall in zip(self.precisions[sel],
+                                     self.recalls[sel]):
+            if smooth:
+                precision = self._interpolate(precision)
+            plt.plot(recall, precision)
+        plt.legend(self.class_names[sel])
+        plt.title("PR curve")
+        plt.xlabel("recall")
+        plt.ylabel("precision")
+        plt.xlim(-0.05, 1.05)
+        plt.ylim(-0.05, 1.05)
+        if return_fig:
+            return fig
+        plt.show()
+
+    def get_map(self, mode="voc2012"):
+        """AP table: voc2007 (11-pt), voc2012 (7-pt), area, smootharea."""
+        import pandas as pd
+
+        aps = [0.0] * self.class_num
+        if mode in ("area", "smootharea"):
+            for ci in range(self.class_num):
+                precisions = self.precisions[ci]
+                if mode == "smootharea":
+                    precisions = self._interpolate(precisions)
+                recalls = self.recalls[ci]
+                # trapezoid integral over the recorded sweep
+                for k in range(len(precisions) - 1):
+                    delta = recalls[k + 1] - recalls[k]
+                    mid = (precisions[k + 1] + precisions[k]) / 2
+                    aps[ci] += delta * mid
+        else:
+            if mode == "voc2012":
+                recall_pts = [0, 0.14, 0.29, 0.43, 0.57, 0.71, 1]
+            elif mode == "voc2007":
+                recall_pts = [i / 10 for i in range(11)]
+            else:
+                raise ValueError(f"Invalid mode: {mode}")
+            for ci in range(self.class_num):
+                aps[ci] = sum(self(r, ci) for r in recall_pts) \
+                    / len(recall_pts)
+
+        aps.append(sum(aps) / len(aps))
+        table = pd.DataFrame(aps, columns=["ap"])
+        table.index = list(self.class_names) + ["mAP"]
+        return table
+
+
+class PR_func(PRfunc):
+    """Deprecated alias (reference measurement.py:450-455)."""
+
+    def __init__(self, *args, **kwargs):
+        warnings.warn(
+            "`PR_func` is deprecated and renamed to `PRfunc`.", Warning)
+        super().__init__(*args, **kwargs)
