@@ -3,12 +3,15 @@
 from .layers import ConvBN, ConvActBN, SPP, mish, upsample2x, space_to_depth
 from .backbones import (DarknetV1, Darknet19, UNetBody, Darknet53,
                         TinyDarknet, CSPDarknet53, Classifier)
+from .resnet import ResNet
+from .mobilenet import MobileNetV2
 from .heads import HeadV1, AnchorHead
 from .detectors import YoloV1, YoloV2, YoloV3, YoloV4, FPNStage
 
 __all__ = [
     "ConvBN", "ConvActBN", "SPP", "mish", "upsample2x", "space_to_depth",
     "DarknetV1", "Darknet19", "UNetBody", "Darknet53", "TinyDarknet",
-    "CSPDarknet53", "Classifier", "HeadV1", "AnchorHead",
+    "CSPDarknet53", "Classifier", "ResNet", "MobileNetV2",
+    "HeadV1", "AnchorHead",
     "YoloV1", "YoloV2", "YoloV3", "YoloV4", "FPNStage",
 ]

@@ -18,7 +18,17 @@ from flax import linen as nn
 from .layers import ConvBN, SPP, upsample2x, space_to_depth
 from .backbones import (DarknetV1, Darknet19, UNetBody, Darknet53,
                         TinyDarknet, CSPDarknet53)
+from .resnet import ResNet
+from .mobilenet import MobileNetV2
 from .heads import HeadV1, AnchorHead
+
+
+def _resnet_from_name(name, **kw):
+    """Map 'resnet50'/'resnet101v2'/... to a ResNet module."""
+    preact = name.endswith("v2")
+    depth = int(name[len("resnet"):-2] if preact
+                else name[len("resnet"):])
+    return ResNet(depth=depth, preact=preact, **kw, name="backbone")
 
 
 def _split_anchors(anchors, num_levels):
@@ -81,6 +91,8 @@ class YoloV2(nn.Module):
                 merged, train)
         elif self.backbone == "unet":
             feat = UNetBody(**kw, name="backbone")(x, train)
+        elif self.backbone == "mobilenet":
+            feat = MobileNetV2(**kw, name="backbone")(x, train)
         else:
             raise ValueError(f"Invalid backbone: {self.backbone}")
         return AnchorHead(self.anchors, self.class_num,
@@ -134,7 +146,11 @@ class YoloV3(nn.Module):
                           name="tiny_out2")(merged, train)
             feats = [out1, out2]
         else:
-            c3, c4, c5 = Darknet53(**kw, name="backbone")(x, train)
+            if self.backbone.startswith("resnet"):
+                c3, c4, c5 = _resnet_from_name(self.backbone, **kw)(
+                    x, train)
+            else:
+                c3, c4, c5 = Darknet53(**kw, name="backbone")(x, train)
             t, out1 = FPNStage(512, **kw, name="fpn1")(c5, train)
             t = ConvBN(256, 1, act="leaky", **kw, name="up1")(t, train)
             t = jnp.concatenate([upsample2x(t), c4], axis=-1)
@@ -160,13 +176,17 @@ class YoloV4(nn.Module):
      yolov4/models/__init__.py:14-71)."""
     anchors: Sequence
     class_num: int = 1
+    backbone: str = "csp_darknet"
     bn_axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         kw = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype)
-        c3, c4, c5 = CSPDarknet53(**kw, name="backbone")(x, train)
+        if self.backbone.startswith("resnet"):
+            c3, c4, c5 = _resnet_from_name(self.backbone, **kw)(x, train)
+        else:
+            c3, c4, c5 = CSPDarknet53(**kw, name="backbone")(x, train)
 
         # top-down path with SPP at the coarsest level
         t_s = ConvBN(512, 1, act="leaky", **kw, name="td1_pre1")(c5, train)

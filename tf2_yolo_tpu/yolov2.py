@@ -42,10 +42,6 @@ class Yolo(YoloBase):
             pretrained_weights: saved weight file path.
             pretrained_backbone: Model / params dict to graft.
         """
-        if backbone == "mobilenet":
-            raise NotImplementedError(
-                "mobilenet backbone is not available yet in the "
-                "TPU build; use 'darknet' or 'unet'")
         module = YoloV2(anchors=anchors, class_num=self.class_num,
                         backbone=backbone)
         self.model = Model(module, self.input_shape)

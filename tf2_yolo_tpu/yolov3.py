@@ -43,13 +43,14 @@ class Yolo(YoloBase):
                      pretrained_body="pascal_voc"):
         """Build the v3 model (reference yolov3/__init__.py:100-181).
 
-        backbone: "full_darknet" or "tiny_darknet" (resnet variants
-        pending).
+        backbone: "full_darknet", "tiny_darknet", or
+        "resnet{50,101,152}{,v2}".
         """
-        if backbone not in ("full_darknet", "tiny_darknet"):
-            raise NotImplementedError(
-                f"backbone '{backbone}' is not available yet in the "
-                "TPU build; use 'full_darknet' or 'tiny_darknet'")
+        valid = ("full_darknet", "tiny_darknet", "resnet50",
+                 "resnet101", "resnet152", "resnet50v2",
+                 "resnet101v2", "resnet152v2")
+        if backbone not in valid:
+            raise ValueError(f"Invalid backbone: {backbone}")
 
         module = YoloV3(anchors=anchors, class_num=self.class_num,
                         backbone=backbone)

@@ -147,12 +147,13 @@ class Yolo(YoloBase):
                            for _ in range(self.pan_layers * self.abox_num)]
                 use_arg_anchors = False
 
-        if backbone != "csp_darknet":
-            raise NotImplementedError(
-                f"backbone '{backbone}' is not available yet in the "
-                "TPU build; use 'csp_darknet'")
+        valid = ("csp_darknet", "resnet50", "resnet101", "resnet152",
+                 "resnet50v2", "resnet101v2", "resnet152v2")
+        if backbone not in valid:
+            raise ValueError(f"Invalid backbone: {backbone}")
 
-        module = YoloV4(anchors=anchors, class_num=self.class_num)
+        module = YoloV4(anchors=anchors, class_num=self.class_num,
+                        backbone=backbone)
         self._model = Model(module, self.input_shape)
         self._model.default_frozen = self._frozen_predicate()
 
