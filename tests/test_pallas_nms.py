@@ -1,0 +1,56 @@
+"""Pallas NMS kernel parity vs the XLA path and host reference
+(interpret mode on CPU; compiled on TPU at bench time)."""
+
+import numpy as np
+import pytest
+
+from tf2_yolo_tpu.ops.pallas import nms_pallas
+from tf2_yolo_tpu.utils import nms as host_nms
+
+
+def make_sorted_boxes(rng, n_img=2, n_box=20, k=128, classes=2):
+    """Random clustered rows -> (N, K, 8) sorted by joint conf."""
+    out = np.zeros((n_img, k, 8), np.float32)
+    raw = []
+    for i in range(n_img):
+        rows = rng.rand(n_box, 7)
+        rows[:, 2:4] = rows[:, 2:4] * 0.3 + 0.2
+        rows[:, :2] = 0.5 + rng.randn(n_box, 2) * 0.08
+        rows[:, 4] = rng.rand(n_box)
+        rows[:, 5] = rng.randint(0, classes, n_box)
+        rows[:, 6] = rng.rand(n_box)
+        order = np.argsort(-(rows[:, 4] * rows[:, 6]))
+        rows = rows[order]
+        out[i, :n_box, :7] = rows
+        out[i, :n_box, 7] = 1.0
+        raw.append(rows)
+    return out, raw
+
+
+@pytest.mark.parametrize("iou_mode", [1, 2])
+def test_pallas_nms_matches_host(iou_mode):
+    rng = np.random.RandomState(0)
+    boxes, raw = make_sorted_boxes(rng)
+    keep = np.asarray(nms_pallas(boxes, threshold=0.45,
+                                 iou_mode=iou_mode, interpret=True))
+    for i, rows in enumerate(raw):
+        dev = boxes[i, keep[i] > 0.5][:, :7]
+        host = host_nms(rows, class_num=2, nms_threshold=0.45,
+                        iou_mode=iou_mode)
+        dev_sorted = dev[np.lexsort(dev.T[::-1])]
+        host_sorted = host[np.lexsort(host.T[::-1])]
+        np.testing.assert_allclose(dev_sorted, host_sorted,
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_nms_chain_semantics():
+    base = np.zeros((1, 128, 8), np.float32)
+    base[0, 0, :7] = [0.50, 0.50, 0.20, 0.20, 0.9, 0, 1.0]
+    base[0, 1, :7] = [0.58, 0.50, 0.20, 0.20, 0.8, 0, 1.0]
+    base[0, 2, :7] = [0.66, 0.50, 0.20, 0.20, 0.7, 0, 1.0]
+    base[0, :3, 7] = 1.0
+    keep = np.asarray(nms_pallas(base, threshold=0.4, interpret=True))
+    # A kills B; suppressed B must not kill C
+    np.testing.assert_array_equal(keep[0, :3], [1, 0, 1])
+    # padding rows stay dead
+    assert keep[0, 3:].sum() == 0
