@@ -1,0 +1,157 @@
+"""Auxiliary subsystems: config tree, checkpoints, assets, kmeans_jax,
+vis_img/export smoke (SURVEY.md §5)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import matplotlib
+matplotlib.use("Agg")
+
+
+def test_config_roundtrip(tmp_path):
+    from tf2_yolo_tpu import YoloConfig, LossConfig
+
+    cfg = YoloConfig(version=2, input_shape=(96, 96, 3),
+                     class_names=["a", "b"],
+                     anchors=[[0.2, 0.2], [0.4, 0.3]],
+                     loss=LossConfig(binary_weight=0.5,
+                                     ignore_thresh=0.7))
+    path = str(tmp_path / "cfg.json")
+    cfg.to_json(path)
+    back = YoloConfig.from_json(path)
+    assert back == cfg
+
+
+def test_config_build_and_loss():
+    from tf2_yolo_tpu import YoloConfig
+
+    cfg = YoloConfig(version=2, input_shape=(96, 96, 3),
+                     class_names=["a", "b"],
+                     anchors=[[0.2, 0.2], [0.4, 0.3]])
+    yolo = cfg.build()
+    assert yolo.model is not None
+    loss = cfg.build_loss(yolo)
+    assert callable(loss)
+
+
+def test_checkpoint_save_restore(tmp_path):
+    import jax.numpy as jnp
+    import optax
+    from tf2_yolo_tpu.parallel import (create_train_state,
+                                       save_checkpoint,
+                                       restore_checkpoint,
+                                       latest_checkpoint)
+
+    tx = optax.adam(1e-3)
+    variables = {"params": {"w": jnp.ones((3, 3))},
+                 "batch_stats": {"m": jnp.zeros((3,))}}
+    state = create_train_state(variables, tx)
+    state = state._replace(step=jnp.asarray(7, jnp.int32))
+
+    ckpt_dir = save_checkpoint(str(tmp_path / "ck"), state)
+    assert latest_checkpoint(str(tmp_path / "ck")) == ckpt_dir
+
+    blank = create_train_state(
+        {"params": {"w": jnp.zeros((3, 3))},
+         "batch_stats": {"m": jnp.ones((3,))}}, tx)
+    restored = restore_checkpoint(ckpt_dir, blank)
+    assert int(restored.step) == 7
+    np.testing.assert_allclose(restored.params["w"], np.ones((3, 3)))
+    np.testing.assert_allclose(restored.batch_stats["m"],
+                               np.zeros((3,)))
+
+
+def test_checkpoint_pruning(tmp_path):
+    import jax.numpy as jnp
+    import optax
+    from tf2_yolo_tpu.parallel import create_train_state, save_checkpoint
+
+    tx = optax.sgd(1e-2)
+    state = create_train_state({"params": {"w": jnp.ones(2)}}, tx)
+    for step in range(5):
+        state = state._replace(step=jnp.asarray(step, jnp.int32))
+        save_checkpoint(str(tmp_path / "ck"), state, keep=2)
+    kept = sorted(os.listdir(tmp_path / "ck"))
+    assert kept == ["step_3", "step_4"]
+
+
+def test_assets():
+    from tf2_yolo_tpu.assets import load_class_names
+
+    coco = load_class_names("coco")
+    assert len(coco) == 80 and coco[0] == "person"
+    voc = load_class_names("voc")
+    assert len(voc) == 20 and "person" in voc
+
+
+def test_kmeans_jax_clusters():
+    from tf2_yolo_tpu.utils.kmeans import kmeans_jax
+
+    rng = np.random.RandomState(0)
+    small = rng.rand(60, 2) * 0.05 + 0.05
+    large = rng.rand(60, 2) * 0.1 + 0.7
+    data = np.vstack([small, large])
+    centers = kmeans_jax(data, 2, dist="iou", seed=1)
+    areas = np.sort(centers[:, 0] * centers[:, 1])
+    assert areas[0] < 0.02 and areas[1] > 0.3
+
+    centers = kmeans_jax(data, 2, dist="euclidean", seed=1)
+    assert centers.shape == (2, 2)
+
+
+def test_vis_img_smoke(tmp_path):
+    from tf2_yolo_tpu.utils import vis_img
+
+    img = np.zeros((96, 96, 3))
+    label = np.zeros((3, 3, 7))
+    label[1, 1] = [0.5, 0.5, 0.3, 0.3, 1, 1, 0]   # class 0
+    out = str(tmp_path / "vis.png")
+    fig_ax = vis_img(img, label, class_names=["a", "b"], version=2,
+                     savefig_path=out, return_fig_ax=True)
+    assert fig_ax is not None
+    assert os.path.getsize(out) > 0
+
+
+def test_array_export_roundtrip(tmp_path):
+    import json
+    import xml.etree.ElementTree as ET
+    from tf2_yolo_tpu.utils import array_to_json, array_to_xml
+    from tf2_yolo_tpu.data import parse_labelimg
+
+    label = np.zeros((3, 3, 7))
+    label[1, 1] = [0.5, 0.5, 0.3, 0.3, 0.9, 0.95, 0.0]
+    shaped = label.reshape(3, 3, 1, 7)
+    shaped[1, 1, 0, 5] = 0.95
+
+    jpath = str(tmp_path / "out.json")
+    array_to_json(jpath, (96, 96), label, class_names=["a", "b"],
+                  version=2)
+    data = json.load(open(jpath, encoding="big5"))
+    assert len(data["shapes"]) == 1
+    assert data["shapes"][0]["label"] == "a"
+
+    xpath = str(tmp_path / "out.xml")
+    array_to_xml(xpath, (96, 96), label, class_names=["a", "b"],
+                 version=2)
+    boxes, labels = parse_labelimg(xpath, ["a", "b"], encoding="utf-8")
+    assert len(boxes) == 1 and labels == [0]
+
+
+def test_fit_profile_trace(tmp_path):
+    """SURVEY §5 tracing hook: profile_dir captures a jax trace."""
+    from tf2_yolo_tpu import yolov2
+
+    yolo = yolov2.Yolo(input_shape=(64, 64, 3), class_names=["a"])
+    yolo.create_model(anchors=[[0.3, 0.3]])
+    x = np.random.RandomState(0).rand(4, 64, 64, 3).astype(np.float32)
+    y = np.zeros((4, 2, 2, 6), np.float32)
+    y[:, 0, 0] = [0.5, 0.5, 0.3, 0.3, 1, 1]
+    yolo.model.compile("adam", loss=yolo.loss())
+    prof = str(tmp_path / "prof")
+    yolo.model.fit(x, y, epochs=1, batch_size=4, verbose=0,
+                   profile_dir=prof)
+    # trace directory produced with at least one artifact
+    found = [f for _, _, fs in os.walk(prof) for f in fs]
+    assert found

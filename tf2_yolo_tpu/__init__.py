@@ -31,8 +31,11 @@ from . import yolov1_5
 from . import yolov2
 from . import yolov3
 from . import yolov4
+from . import assets
 from .engine import Model
+from .config import YoloConfig, LossConfig, NmsConfig, TrainConfig
 
-__all__ = ["ops", "utils", "data", "models", "parallel",
+__all__ = ["ops", "utils", "data", "models", "parallel", "assets",
            "yolov1_5", "yolov2", "yolov3", "yolov4", "Model",
+           "YoloConfig", "LossConfig", "NmsConfig", "TrainConfig",
            "__version__"]

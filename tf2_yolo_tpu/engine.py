@@ -170,15 +170,29 @@ class Model:
             yield x[sel], yb
 
     def fit(self, x, y=None, epochs=1, batch_size=20, shuffle=True,
-            seed=None, verbose=1, validation_data=None):
+            seed=None, verbose=1, validation_data=None,
+            profile_dir=None, checkpoint_dir=None,
+            checkpoint_every=None):
         """Train. ``x`` is an ndarray (with ``y`` labels, list for
-        multi-output models) or a sequence yielding (img, labels)."""
+        multi-output models) or a sequence yielding (img, labels).
+
+        Args:
+            profile_dir: if set, capture a jax.profiler trace of the
+                first epoch into this directory (view in TensorBoard /
+                Perfetto) — the SURVEY §5 tracing hook.
+            checkpoint_dir/checkpoint_every: save full training state
+                (params + optimizer + step) every N epochs via Orbax.
+        """
         self._ensure_state()
         rng = np.random.RandomState(seed)
         mesh = make_mesh(best_data_axis(batch_size))
         shard = batch_sharding(mesh)
 
         history = {"loss": []}
+        profiling = False
+        if profile_dir is not None:
+            jax.profiler.start_trace(profile_dir)
+            profiling = True
         for epoch in range(epochs):
             t0 = time.time()
             logs_sum, steps = {}, 0
@@ -211,12 +225,23 @@ class Model:
                 means.update({f"val_{k}": v for k, v in val_logs.items()})
             for k, v in means.items():
                 history.setdefault(k, []).append(v)
+            history.setdefault("epoch_time", []).append(
+                time.time() - t0)
             if verbose:
                 stats = " - ".join(f"{k}: {v:.4f}"
                                    for k, v in means.items())
                 print(f"Epoch {epoch + 1}/{epochs} - "
                       f"{time.time() - t0:.1f}s - {stats}")
+            if profiling:
+                jax.profiler.stop_trace()
+                profiling = False
+            if (checkpoint_dir is not None and checkpoint_every
+                    and (epoch + 1) % checkpoint_every == 0):
+                from .parallel.checkpoint import save_checkpoint
+                save_checkpoint(checkpoint_dir, self._state)
 
+        if profiling:
+            jax.profiler.stop_trace()
         self._sync_variables()
         return history
 

@@ -396,14 +396,16 @@ def array_to_json(path, img_size, *label_datas,
 
     obj_list = []
     for obj in xywhcp:
-        box_x, box_y = obj[0] * img_size[1], obj[1] * img_size[0]
-        box_w, box_h = obj[2] * img_size[1], obj[3] * img_size[0]
+        # plain Python floats: numpy>=2 scalar reprs would corrupt the
+        # str(dict) serialization the reference format uses
+        box_x, box_y = float(obj[0] * img_size[1]), float(obj[1] * img_size[0])
+        box_w, box_h = float(obj[2] * img_size[1]), float(obj[3] * img_size[0])
         point_min = [box_x - box_w / 2, box_y - box_h / 2]
         point_max = [box_x + box_w / 2, box_y + box_h / 2]
         obj_list.append({"label": class_names[int(obj[5])],
                          "points": [point_min, point_max],
                          "shape_type": "rectangle",
-                         "confidence": obj[4] * obj[6]})
+                         "confidence": float(obj[4] * obj[6])})
 
     data = {"shapes": obj_list,
             "imageHeight": img_size[0],
