@@ -1,0 +1,231 @@
+"""Convert reference tf.keras .h5 weights into this framework's trees.
+
+The reference hosts four pretrained sets (darknet53/cspdarknet53
+classifiers, yolov3 pascal_voc, yolov4 ms_coco — SURVEY.md §5
+checkpoint row). This module maps a keras h5 file onto our flax
+param/batch_stats trees:
+
+  - Conv2D kernels are HWIO in both frameworks -> direct copy;
+  - BatchNormalization (gamma, beta, moving_mean, moving_variance)
+    -> bn.scale / bn.bias (params) + bn.mean / bn.var (batch_stats);
+  - the reference's per-anchor head convs (out{i}_box{j}_{xy,wh,conf,
+    prob}_conv) are CONCATENATED channel-wise into our fused per-level
+    head conv, in the [xy, wh, conf, prob] * box order the fused head
+    expects (models/heads.py);
+  - v4 Anchor layer weights (out{i}_box{j}_anchor) stack into the
+    per-head (B, 2) ``anchors`` parameter.
+
+Layer-name mapping is structural (derived from the reference builder
+name arguments, e.g. yolov4/models/backbone.py name= kwargs), not by
+layer index.
+"""
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------
+# h5 reading
+# ---------------------------------------------------------------------
+
+def load_h5_weights(path):
+    """Read a keras h5 weight file into {layer_name: {weight_name:
+    ndarray}} (handles both `model_weights`-rooted training files and
+    bare weight files)."""
+    import h5py
+
+    out = {}
+
+    def visit(name, obj):
+        if isinstance(obj, h5py.Dataset):
+            parts = name.split("/")
+            # keras nests as  <layer>/<layer>/<weight>:0  or
+            # model_weights/<layer>/<layer>/<weight>:0
+            if parts[0] == "model_weights":
+                parts = parts[1:]
+            layer = parts[0]
+            weight = parts[-1].split(":")[0]
+            out.setdefault(layer, {})[weight] = np.array(obj)
+
+    with h5py.File(path, "r") as f:
+        root = f["model_weights"] if "model_weights" in f else f
+        root.visititems(
+            lambda name, obj: visit(
+                ("model_weights/" + name) if root is not f else name,
+                obj))
+    return out
+
+
+# ---------------------------------------------------------------------
+# tree plumbing
+# ---------------------------------------------------------------------
+
+def _set_in(tree, path, value):
+    node = tree
+    for key in path[:-1]:
+        node = node.setdefault(key, {})
+    node[path[-1]] = value
+
+
+def _to_mutable(tree):
+    if isinstance(tree, dict):
+        return {k: _to_mutable(v) for k, v in tree.items()}
+    return tree
+
+
+def _copy_convbn(h5w, base, params, stats, path, used):
+    """Copy one ConvBN block: '<base>_conv' (+ optional bias) and
+    '<base>_bn'."""
+    conv = h5w.get(f"{base}_conv")
+    if conv is None:
+        raise KeyError(f"missing layer '{base}_conv' in h5 file")
+    entry = {"kernel": conv["kernel"]}
+    if "bias" in conv:
+        entry["bias"] = conv["bias"]
+    _set_in(params, path + ("conv",), entry)
+    used.add(f"{base}_conv")
+
+    bn = h5w.get(f"{base}_bn")
+    if bn is not None:
+        _set_in(params, path + ("bn",),
+                {"scale": bn["gamma"], "bias": bn["beta"]})
+        _set_in(stats, path + ("bn",),
+                {"mean": bn["moving_mean"],
+                 "var": bn["moving_variance"]})
+        used.add(f"{base}_bn")
+
+
+# ---------------------------------------------------------------------
+# YOLOv4 mapping
+# ---------------------------------------------------------------------
+
+_CSP_BLOCKS = [1, 2, 8, 8, 4]
+
+
+def _yolov4_body_mapping():
+    """[(our_module_path, reference_base_name)] for the CSPDarknet-53
+    body + SPP/PAN neck (reference yolov4/models/backbone.py:149-157,
+    darknet.py:72-136)."""
+    m = [(("backbone", "stem"), "conv1")]
+    for n, blocks in enumerate(_CSP_BLOCKS, start=1):
+        st = ("backbone", f"stage{n}")
+        m += [(st + ("down",), f"stage{n}_dn"),
+              (st + ("cross",), f"stage{n}_cross"),
+              (st + ("pre",), f"stage{n}_pre")]
+        for b in range(1, blocks + 1):
+            m += [(st + (f"block{b}", "squeeze"),
+                   f"stage{n}_block{b}_1x1"),
+                  (st + (f"block{b}", "expand"),
+                   f"stage{n}_block{b}_3x3")]
+        m += [(st + ("post",), f"stage{n}_post"),
+              (st + ("out",), f"stage{n}_out")]
+
+    m += [(("td1_pre1",), "pan_td1_1"),
+          (("td1_pre2",), "pan_td1_2"),
+          (("td1_spp_pre",), "pan_td1_spp_pre"),
+          (("td1_post1",), "pan_td1_3"),
+          (("td1_post2",), "pan_td1_4"),
+          (("td1_post3",), "pan_td1_5"),
+          (("td1_up",), "pan_td1_up"),
+          (("td2_pre",), "pan_td2_pre")]
+    for i in range(1, 6):
+        m.append((("td2", f"conv{i}"), f"pan_td2_{i}"))
+    m += [(("td2_up",), "pan_td2_up"), (("td3_pre",), "pan_td3_pre")]
+    for i in range(1, 6):
+        m.append((("td3", f"conv{i}"), f"pan_td3_{i}"))
+    m += [(("out_l",), "pan_out_l"), (("bu1_dn",), "pan_bu1_dn")]
+    for i in range(1, 6):
+        m.append((("bu1", f"conv{i}"), f"pan_bu1_{i}"))
+    m += [(("out_m",), "pan_out_m"), (("bu2_dn",), "pan_bu2_dn")]
+    for i in range(1, 6):
+        m.append((("bu2", f"conv{i}"), f"pan_bu2_{i}"))
+    m += [(("out_s",), "pan_out_s")]
+    return m
+
+
+def _fuse_head(h5w, level, abox_num, class_num, used):
+    """Concatenate the per-box head convs of one level into the fused
+    conv kernel/bias + stacked anchors."""
+    kernels, biases, anchors = [], [], []
+    for j in range(1, abox_num + 1):
+        base = f"out{level}_box{j}"
+        for part, ch in (("xy", 2), ("wh", 2), ("conf", 1),
+                         ("prob", class_num)):
+            lay = h5w.get(f"{base}_{part}_conv")
+            if lay is None:
+                raise KeyError(f"missing head conv {base}_{part}_conv")
+            k = lay["kernel"]
+            if k.shape[-1] != ch:
+                raise ValueError(
+                    f"{base}_{part}_conv has {k.shape[-1]} channels, "
+                    f"expected {ch}")
+            kernels.append(k)
+            biases.append(lay.get("bias", np.zeros(ch, np.float32)))
+            used.add(f"{base}_{part}_conv")
+        anchor = h5w.get(f"{base}_anchor")
+        if anchor is not None:
+            # Anchor layer weight shape (1,1,1,2)
+            anchors.append(list(anchor.values())[0].reshape(2))
+            used.add(f"{base}_anchor")
+    fused = {"kernel": np.concatenate(kernels, axis=-1),
+             "bias": np.concatenate(biases, axis=-1)}
+    return fused, (np.stack(anchors) if anchors else None)
+
+
+def convert_yolov4(h5_path_or_weights, class_num, abox_num=3,
+                   num_levels=3, strict=True):
+    """Convert a reference YOLOv4 h5 file (body or full model).
+
+    Returns:
+        (params, batch_stats) partial trees to merge into a YoloV4
+        model's variables (missing pieces — e.g. heads when converting
+        a body-only file — are simply absent).
+    """
+    h5w = (h5_path_or_weights
+           if isinstance(h5_path_or_weights, dict)
+           else load_h5_weights(h5_path_or_weights))
+    params, stats, used = {}, {}, set()
+
+    for path, base in _yolov4_body_mapping():
+        try:
+            _copy_convbn(h5w, base, params, stats, path, used)
+        except KeyError:
+            if strict:
+                raise
+
+    has_heads = any(k.startswith("out1_box1") for k in h5w)
+    if has_heads:
+        for level in range(1, num_levels + 1):
+            fused, anchors = _fuse_head(h5w, level, abox_num,
+                                        class_num, used)
+            _set_in(params, (f"head{level}", "conv"), fused)
+            if anchors is not None:
+                _set_in(params, (f"head{level}",),
+                        {**params.get(f"head{level}", {}),
+                         "anchors": anchors})
+    return params, stats
+
+
+def merge_into_variables(variables, params, batch_stats):
+    """Merge converted partial trees into a model's variables dict,
+    checking shape agreement."""
+    variables = _to_mutable(variables)
+
+    def merge(dst, src, where):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                if k not in dst:
+                    raise KeyError(f"no module '{where}/{k}' in model")
+                merge(dst[k], v, f"{where}/{k}")
+            else:
+                if k not in dst:
+                    raise KeyError(f"no param '{where}/{k}' in model")
+                if tuple(np.shape(dst[k])) != tuple(np.shape(v)):
+                    raise ValueError(
+                        f"shape mismatch at {where}/{k}: model "
+                        f"{np.shape(dst[k])} vs h5 {np.shape(v)}")
+                dst[k] = np.asarray(v, np.float32)
+
+    merge(variables["params"], params, "params")
+    merge(variables.setdefault("batch_stats", {}), batch_stats,
+          "batch_stats")
+    return variables

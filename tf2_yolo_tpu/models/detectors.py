@@ -101,11 +101,13 @@ class YoloV2(nn.Module):
 
 
 class FPNStage(nn.Module):
-    """make_last_layers: 5 alternating 1x1/3x3 convs; returns the
-    bottleneck and the 3x3-expanded output feature
-    (reference yolov3/models/backbone.py:85-95)."""
+    """make_last_layers: 5 alternating 1x1/3x3 convs; optionally also
+    the 3x3-expanded output feature
+    (reference yolov3/models/backbone.py:85-95; the v4 PAN uses only
+    the 5-conv stack, yolov4/models/backbone.py:160-173)."""
     features: int
     act: str = "leaky"
+    make_out: bool = True
     bn_axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
@@ -117,6 +119,8 @@ class FPNStage(nn.Module):
                 [(f, 1), (f * 2, 3), (f, 1), (f * 2, 3), (f, 1)]):
             x = ConvBN(ff, k, act=self.act, **kw,
                        name=f"conv{i + 1}")(x, train)
+        if not self.make_out:
+            return x, None
         out = ConvBN(f * 2, 3, act=self.act, **kw, name="out")(x, train)
         return x, out
 
@@ -202,24 +206,24 @@ class YoloV4(nn.Module):
         up = ConvBN(256, 1, act="leaky", **kw, name="td1_up")(t_s, train)
         t_m = ConvBN(256, 1, act="leaky", **kw, name="td2_pre")(c4, train)
         t_m = jnp.concatenate([t_m, upsample2x(up)], axis=-1)
-        t_m, _ = FPNStage(256, **kw, name="td2")(t_m, train)
+        t_m, _ = FPNStage(256, make_out=False, **kw, name="td2")(t_m, train)
 
         up = ConvBN(128, 1, act="leaky", **kw, name="td2_up")(t_m, train)
         t_l = ConvBN(128, 1, act="leaky", **kw, name="td3_pre")(c3, train)
         t_l = jnp.concatenate([t_l, upsample2x(up)], axis=-1)
-        t_l, _ = FPNStage(128, **kw, name="td3")(t_l, train)
+        t_l, _ = FPNStage(128, make_out=False, **kw, name="td3")(t_l, train)
 
         out_l = ConvBN(256, 3, act="leaky", **kw, name="out_l")(t_l, train)
 
         # bottom-up PAN re-downsamples
         dn = ConvBN(256, 3, 2, act="leaky", **kw, name="bu1_dn")(t_l, train)
         t_m = jnp.concatenate([dn, t_m], axis=-1)
-        t_m, _ = FPNStage(256, **kw, name="bu1")(t_m, train)
+        t_m, _ = FPNStage(256, make_out=False, **kw, name="bu1")(t_m, train)
         out_m = ConvBN(512, 3, act="leaky", **kw, name="out_m")(t_m, train)
 
         dn = ConvBN(512, 3, 2, act="leaky", **kw, name="bu2_dn")(t_m, train)
         t_s = jnp.concatenate([dn, t_s], axis=-1)
-        t_s, _ = FPNStage(512, **kw, name="bu2")(t_s, train)
+        t_s, _ = FPNStage(512, make_out=False, **kw, name="bu2")(t_s, train)
         out_s = ConvBN(1024, 3, act="leaky", **kw, name="out_s")(t_s, train)
 
         feats = [out_s, out_m, out_l]      # coarse -> fine
