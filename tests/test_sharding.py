@@ -1,0 +1,112 @@
+"""Distributed correctness on the virtual 8-device CPU mesh
+(SURVEY.md §4): sharded train step == single-device train step.
+
+A shallow conv-BN detector head keeps f32 reduction-order noise small
+enough for tight comparison (the full backbones amplify ulp-level
+all-reduce differences through dozens of BN layers — loss still
+matches to ~1e-4 there, asserted separately in the v2 check).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tf2_yolo_tpu.models import YoloV2
+from tf2_yolo_tpu.models.heads import AnchorHead
+from tf2_yolo_tpu.ops import wrap_yolo_loss_v2
+from tf2_yolo_tpu.parallel import (make_optimizer, create_train_state,
+                                   make_train_step, make_mesh,
+                                   batch_sharding, replicated,
+                                   best_data_axis)
+
+ANCHORS = np.array([[0.2, 0.2], [0.4, 0.3]], np.float32)
+
+
+class TinyDetector(nn.Module):
+    """2 conv-BN blocks + anchor head; stride 32 via avg pooling."""
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        from tf2_yolo_tpu.models import ConvBN
+        x = ConvBN(16, 3, 2, act="leaky")(x, train)
+        x = ConvBN(32, 3, 2, act="leaky")(x, train)
+        x = nn.avg_pool(x, (8, 8), (8, 8))
+        return AnchorHead(ANCHORS, 2, prob_act="softmax")(x)
+
+
+def _setup(batch=8):
+    model = TinyDetector()
+    rng = np.random.RandomState(0)
+    x = rng.rand(batch, 64, 64, 3).astype(np.float32)
+    y = np.zeros((batch, 2, 2, 7), np.float32)
+    for i in range(batch):
+        y[i, rng.randint(2), rng.randint(2)] = \
+            [0.5, 0.5, 0.3, 0.3, 1, 1, 0]
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    loss_fn = wrap_yolo_loss_v2((2, 2), 2, 2, ANCHORS)
+    tx = make_optimizer("sgd", 1e-2)
+    state = create_train_state(variables, tx)
+    step = make_train_step(model.apply, tx, [loss_fn])
+    return state, step, x, y
+
+
+def test_sharded_step_matches_single_device():
+    state, step, x, y = _setup()
+
+    s1 = jax.jit(step)(state, jnp.asarray(x), (jnp.asarray(y),))
+    loss1 = float(s1[1]["loss"])
+    params1 = s1[0].params
+
+    mesh = make_mesh(8)
+    shard = batch_sharding(mesh)
+    rep = replicated(mesh)
+    state8 = jax.device_put(state, rep)
+    x8 = jax.device_put(jnp.asarray(x), shard)
+    y8 = jax.device_put(jnp.asarray(y), shard)
+    s8 = jax.jit(step)(state8, x8, (y8,))
+    loss8 = float(s8[1]["loss"])
+    params8 = s8[0].params
+
+    np.testing.assert_allclose(loss8, loss1, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(params1),
+                    jax.tree_util.tree_leaves(params8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+    # BN batch statistics are global-batch statistics under sharding
+    for a, b in zip(jax.tree_util.tree_leaves(s1[0].batch_stats),
+                    jax.tree_util.tree_leaves(s8[0].batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-7)
+
+
+def test_full_v2_sharded_loss_close():
+    """Full DarkNet-19: loss equivalence within deep-net f32 noise."""
+    model = YoloV2(anchors=ANCHORS, class_num=2)
+    rng = np.random.RandomState(1)
+    x = rng.rand(8, 64, 64, 3).astype(np.float32)
+    y = np.zeros((8, 2, 2, 7), np.float32)
+    y[:, 0, 0] = [0.5, 0.5, 0.3, 0.3, 1, 1, 0]
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    loss_fn = wrap_yolo_loss_v2((2, 2), 2, 2, ANCHORS)
+    tx = make_optimizer("sgd", 1e-2)
+    state = create_train_state(variables, tx)
+    step = make_train_step(model.apply, tx, [loss_fn])
+
+    loss1 = float(jax.jit(step)(
+        state, jnp.asarray(x), (jnp.asarray(y),))[1]["loss"])
+    mesh = make_mesh(8)
+    s8 = jax.device_put(state, replicated(mesh))
+    x8 = jax.device_put(jnp.asarray(x), batch_sharding(mesh))
+    y8 = jax.device_put(jnp.asarray(y), batch_sharding(mesh))
+    loss8 = float(jax.jit(step)(s8, x8, (y8,))[1]["loss"])
+    np.testing.assert_allclose(loss8, loss1, rtol=1e-3)
+
+
+def test_best_data_axis():
+    assert best_data_axis(8, 8) == 8
+    assert best_data_axis(6, 8) == 6
+    assert best_data_axis(7, 4) == 1
+    assert best_data_axis(12, 8) == 6

@@ -34,7 +34,8 @@ class Yolo(YoloBase):
 
     def create_model(self, bbox_num=2,
                      pretrained_weights=None,
-                     pretrained_backbone=None):
+                     pretrained_backbone=None,
+                     dtype=None):
         """Build the v1 model (reference yolov1_5/__init__.py:66-91).
 
         Args:
@@ -42,8 +43,12 @@ class Yolo(YoloBase):
             pretrained_weights: path to a saved weight file.
             pretrained_backbone: a Model (or raw params dict) whose
                 ``backbone`` params are grafted in.
+            dtype: conv/BN compute dtype (e.g. jnp.bfloat16 on TPU);
+                params and loss math stay f32.
         """
-        module = YoloV1(bbox_num=bbox_num, class_num=self.class_num)
+        import jax.numpy as jnp
+        module = YoloV1(bbox_num=bbox_num, class_num=self.class_num,
+                        dtype=dtype or jnp.float32)
         self.model = Model(module, self.input_shape)
 
         if pretrained_backbone is not None:

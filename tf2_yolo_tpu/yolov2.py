@@ -33,7 +33,8 @@ class Yolo(YoloBase):
     def create_model(self, anchors=DEFAULT_ANCHORS,
                      backbone="darknet",
                      pretrained_weights=None,
-                     pretrained_backbone=None):
+                     pretrained_backbone=None,
+                     dtype=None):
         """Build the v2 model (reference yolov2/__init__.py:69-105).
 
         Args:
@@ -42,8 +43,9 @@ class Yolo(YoloBase):
             pretrained_weights: saved weight file path.
             pretrained_backbone: Model / params dict to graft.
         """
+        import jax.numpy as jnp
         module = YoloV2(anchors=anchors, class_num=self.class_num,
-                        backbone=backbone)
+                        backbone=backbone, dtype=dtype or jnp.float32)
         self.model = Model(module, self.input_shape)
 
         if pretrained_backbone is not None and \

@@ -40,7 +40,8 @@ class Yolo(YoloBase):
     def create_model(self, anchors=DEFAULT_ANCHORS,
                      backbone="full_darknet",
                      pretrained_weights=None,
-                     pretrained_body="pascal_voc"):
+                     pretrained_body="pascal_voc",
+                     dtype=None):
         """Build the v3 model (reference yolov3/__init__.py:100-181).
 
         backbone: "full_darknet", "tiny_darknet", or
@@ -52,8 +53,9 @@ class Yolo(YoloBase):
         if backbone not in valid:
             raise ValueError(f"Invalid backbone: {backbone}")
 
+        import jax.numpy as jnp
         module = YoloV3(anchors=anchors, class_num=self.class_num,
-                        backbone=backbone)
+                        backbone=backbone, dtype=dtype or jnp.float32)
         self.model = Model(module, self.input_shape)
 
         if pretrained_body is not None and \

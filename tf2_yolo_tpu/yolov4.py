@@ -132,7 +132,8 @@ class Yolo(YoloBase):
     def create_model(self, anchors=None,
                      backbone="csp_darknet",
                      pretrained_weights=None,
-                     pretrained_body="ms_coco"):
+                     pretrained_body="ms_coco",
+                     dtype=None):
         """Build the v4 model (reference yolov4/__init__.py:190-276)."""
         use_arg_anchors = True
         if pretrained_weights is None:
@@ -152,8 +153,9 @@ class Yolo(YoloBase):
         if backbone not in valid:
             raise ValueError(f"Invalid backbone: {backbone}")
 
+        import jax.numpy as jnp
         module = YoloV4(anchors=anchors, class_num=self.class_num,
-                        backbone=backbone)
+                        backbone=backbone, dtype=dtype or jnp.float32)
         self._model = Model(module, self.input_shape)
         self._model.default_frozen = self._frozen_predicate()
 
