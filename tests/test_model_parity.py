@@ -1,0 +1,65 @@
+"""Full-model structural parity: the ACTUAL reference YOLOv4 (tf.keras,
+legacy-keras mode) vs this framework's YoloV4 on converted weights.
+
+A subprocess builds the reference model, saves keras-2 h5 weights and
+a train-mode forward activation on a fixed input; the converter maps
+the weights onto the flax model and the outputs must agree to f32
+tolerances. This exercises, end to end: CSPDarknet-53 structure, SPP,
+PAN, asymmetric stride-2 padding, BatchNorm semantics, fused-head
+channel order, and anchor parameters.
+
+Skipped when TF or the reference checkout is unavailable.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+pytest.importorskip("tensorflow")
+pytest.importorskip("h5py")
+
+if not os.path.isdir("/root/reference"):
+    pytest.skip("reference checkout not available",
+                allow_module_level=True)
+
+
+@pytest.fixture(scope="module")
+def ref_export(tmp_path_factory):
+    outdir = str(tmp_path_factory.mktemp("refv4"))
+    script = os.path.join(os.path.dirname(__file__),
+                          "ref_export_yolov4.py")
+    env = dict(os.environ, TF_USE_LEGACY_KERAS="1")
+    # drop the forced-cpu jax settings; the subprocess only runs TF
+    subprocess.run([sys.executable, script, outdir, "128", "3"],
+                   check=True, env=env, capture_output=True,
+                   timeout=560)
+    return outdir
+
+
+def test_yolov4_forward_matches_reference(ref_export):
+    import jax
+    import jax.numpy as jnp
+    from tf2_yolo_tpu.convert import (load_h5_weights, convert_yolov4,
+                                      merge_into_variables)
+    from tf2_yolo_tpu.models import YoloV4
+
+    h5w = load_h5_weights(os.path.join(ref_export, "ref_yolov4.h5"))
+    io = np.load(os.path.join(ref_export, "ref_io.npz"))
+    x = io["x"]
+
+    anchors = np.stack([np.linspace(0.1, 0.9, 9),
+                        np.linspace(0.2, 0.8, 9)], 1)
+    model = YoloV4(anchors=anchors, class_num=3)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 128, 128, 3)), train=False)
+    merged = merge_into_variables(
+        variables, *convert_yolov4(h5w, class_num=3))
+
+    outs, _ = model.apply(merged, jnp.asarray(x), train=True,
+                          mutable=["batch_stats"])
+    for i, out in enumerate(outs):
+        ref = io[f"out{i}"]
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3)
