@@ -26,6 +26,9 @@ STEPS = int(os.environ.get("BENCH_STEPS", "10"))
 
 def main():
     import jax
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms",
+                          os.environ["BENCH_PLATFORM"])
     import jax.numpy as jnp
 
     from tf2_yolo_tpu.models import YoloV4

@@ -267,8 +267,9 @@ class Model:
 
     # ------------------------------------------------------------------
     def predict(self, x, batch_size=32, verbose=0):
-        """Eval-mode forward; returns ndarray or list of ndarrays
-        (multi-output), rows aligned with ``x``."""
+        """Eval-mode forward, batch sharded over the data mesh;
+        returns ndarray or list of ndarrays (multi-output), rows
+        aligned with ``x``."""
         if self._predict_jit is None:
             self._predict_jit = jax.jit(
                 lambda v, xb: self.module.apply(v, xb, train=False))
@@ -277,6 +278,8 @@ class Model:
 
         x = np.asarray(x, np.float32)
         n = x.shape[0]
+        mesh = make_mesh(best_data_axis(min(batch_size, n) or 1))
+        shard = batch_sharding(mesh)
         outs_acc = None
         for lo in range(0, n, batch_size):
             xb = x[lo:lo + batch_size]
@@ -285,7 +288,10 @@ class Model:
                 pad = batch_size - xb.shape[0]
                 xb = np.concatenate(
                     [xb, np.zeros((pad, *xb.shape[1:]), xb.dtype)])
-            out = self._predict_jit(variables, jnp.asarray(xb))
+            xb = jnp.asarray(xb)
+            if xb.shape[0] % mesh.shape["data"] == 0:
+                xb = jax.device_put(xb, shard)
+            out = self._predict_jit(variables, xb)
             outs = list(out) if isinstance(out, (list, tuple)) else [out]
             outs = [np.asarray(o)[:batch_size - pad if pad else None]
                     for o in outs]
