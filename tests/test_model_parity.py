@@ -26,17 +26,24 @@ if not os.path.isdir("/root/reference"):
                 allow_module_level=True)
 
 
-@pytest.fixture(scope="module")
-def ref_export(tmp_path_factory):
-    outdir = str(tmp_path_factory.mktemp("refv4"))
-    script = os.path.join(os.path.dirname(__file__),
-                          "ref_export_yolov4.py")
+def _export(tmp_path_factory, script_name, tag):
+    outdir = str(tmp_path_factory.mktemp(tag))
+    script = os.path.join(os.path.dirname(__file__), script_name)
     env = dict(os.environ, TF_USE_LEGACY_KERAS="1")
-    # drop the forced-cpu jax settings; the subprocess only runs TF
     subprocess.run([sys.executable, script, outdir, "128", "3"],
                    check=True, env=env, capture_output=True,
                    timeout=560)
     return outdir
+
+
+@pytest.fixture(scope="module")
+def ref_export(tmp_path_factory):
+    return _export(tmp_path_factory, "ref_export_yolov4.py", "refv4")
+
+
+@pytest.fixture(scope="module")
+def ref_export_v3(tmp_path_factory):
+    return _export(tmp_path_factory, "ref_export_yolov3.py", "refv3")
 
 
 def test_yolov4_forward_matches_reference(ref_export):
@@ -63,3 +70,32 @@ def test_yolov4_forward_matches_reference(ref_export):
     for i, out in enumerate(outs):
         ref = io[f"out{i}"]
         np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3)
+
+
+def test_yolov3_forward_matches_reference(ref_export_v3):
+    import jax
+    import jax.numpy as jnp
+    from tf2_yolo_tpu.convert import (load_h5_weights, convert_yolov3,
+                                      merge_into_variables)
+    from tf2_yolo_tpu.models import YoloV3
+
+    h5w = load_h5_weights(
+        os.path.join(ref_export_v3, "ref_yolov3.h5"))
+    io = np.load(os.path.join(ref_export_v3, "ref_io.npz"))
+
+    anchors = np.stack([np.linspace(0.1, 0.9, 9),
+                        np.linspace(0.2, 0.8, 9)],
+                       1).astype(np.float32)
+    model = YoloV3(anchors=anchors, class_num=3)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 128, 128, 3)), train=False)
+    merged = merge_into_variables(
+        variables, *convert_yolov3(h5w, class_num=3))
+
+    outs, _ = model.apply(merged, jnp.asarray(io["x"]), train=True,
+                          mutable=["batch_stats"])
+    for i, out in enumerate(outs):
+        # wh channels are exp(raw)*anchor: exponentials amplify f32
+        # noise, hence the relative term
+        np.testing.assert_allclose(np.asarray(out), io[f"out{i}"],
+                                   rtol=1.5e-2, atol=3e-3)

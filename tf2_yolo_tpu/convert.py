@@ -205,6 +205,60 @@ def convert_yolov4(h5_path_or_weights, class_num, abox_num=3,
     return params, stats
 
 
+# ---------------------------------------------------------------------
+# YOLOv3 mapping
+# ---------------------------------------------------------------------
+
+_DN53_BLOCKS = [1, 2, 8, 8, 4]
+
+
+def _yolov3_body_mapping():
+    """[(our_module_path, reference_base_name)] for the Darknet-53
+    body + 3-level FPN (reference yolov3/models/backbone.py:58-95,
+    darknet.py:71-104)."""
+    m = [(("backbone", "stem"), "conv1")]
+    for n, blocks in enumerate(_DN53_BLOCKS, start=1):
+        m.append((("backbone", f"stage{n}_down"), f"block{n}_dn"))
+        for b in range(1, blocks + 1):
+            m += [(("backbone", f"stage{n}_block{b}", "squeeze"),
+                   f"block{n}_{b}_1x1"),
+                  (("backbone", f"stage{n}_block{b}", "expand"),
+                   f"block{n}_{b}_3x3")]
+    for k in range(1, 4):
+        m += [((f"fpn{k}", "conv1"), f"last{k}_1_1x1"),
+              ((f"fpn{k}", "conv2"), f"last{k}_1_3x3"),
+              ((f"fpn{k}", "conv3"), f"last{k}_2_1x1"),
+              ((f"fpn{k}", "conv4"), f"last{k}_2_3x3"),
+              ((f"fpn{k}", "conv5"), f"last{k}_3_1x1"),
+              ((f"fpn{k}", "out"), f"last{k}_3_3x3")]
+    m += [(("up1",), "up1"), (("up2",), "up2")]
+    return m
+
+
+def convert_yolov3(h5_path_or_weights, class_num, abox_num=3,
+                   num_levels=3, strict=True):
+    """Convert a reference YOLOv3 h5 file (body or full model) into
+    partial (params, batch_stats) trees for a YoloV3 model."""
+    h5w = (h5_path_or_weights
+           if isinstance(h5_path_or_weights, dict)
+           else load_h5_weights(h5_path_or_weights))
+    params, stats, used = {}, {}, set()
+
+    for path, base in _yolov3_body_mapping():
+        try:
+            _copy_convbn(h5w, base, params, stats, path, used)
+        except KeyError:
+            if strict:
+                raise
+
+    if any(k.startswith("out1_box1") for k in h5w):
+        for level in range(1, num_levels + 1):
+            fused, _ = _fuse_head(h5w, level, abox_num, class_num,
+                                  used)
+            _set_in(params, (f"head{level}", "conv"), fused)
+    return params, stats
+
+
 def merge_into_variables(variables, params, batch_stats):
     """Merge converted partial trees into a model's variables dict,
     checking shape agreement."""

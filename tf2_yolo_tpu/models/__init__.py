@@ -7,6 +7,7 @@ from .resnet import ResNet
 from .mobilenet import MobileNetV2
 from .heads import HeadV1, AnchorHead
 from .detectors import YoloV1, YoloV2, YoloV3, YoloV4, FPNStage
+from .classifiers import darknet, darknet19, darknet53, csp_darknet53
 
 __all__ = [
     "ConvBN", "ConvActBN", "SPP", "mish", "upsample2x", "space_to_depth",
@@ -14,4 +15,5 @@ __all__ = [
     "CSPDarknet53", "Classifier", "ResNet", "MobileNetV2",
     "HeadV1", "AnchorHead",
     "YoloV1", "YoloV2", "YoloV3", "YoloV4", "FPNStage",
+    "darknet", "darknet19", "darknet53", "csp_darknet53",
 ]
