@@ -72,6 +72,61 @@ def test_yolov4_forward_matches_reference(ref_export):
         np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3)
 
 
+def _export_v1v2(tmp_path_factory, version):
+    outdir = str(tmp_path_factory.mktemp(f"refv{version}"))
+    script = os.path.join(os.path.dirname(__file__),
+                          "ref_export_v1v2.py")
+    env = dict(os.environ, TF_USE_LEGACY_KERAS="1")
+    subprocess.run([sys.executable, script, outdir, str(version),
+                    "128", "3"], check=True, env=env,
+                   capture_output=True, timeout=560)
+    return outdir
+
+
+def test_yolov1_forward_matches_reference(tmp_path_factory):
+    import jax
+    import jax.numpy as jnp
+    from tf2_yolo_tpu.convert import (load_h5_weights,
+                                      convert_yolov1_positional,
+                                      merge_into_variables)
+    from tf2_yolo_tpu.models import YoloV1
+
+    outdir = _export_v1v2(tmp_path_factory, 1)
+    io = np.load(os.path.join(outdir, "ref_io.npz"))
+    model = YoloV1(bbox_num=2, class_num=3)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 128, 128, 3)), train=False)
+    merged = merge_into_variables(variables, *convert_yolov1_positional(
+        load_h5_weights(os.path.join(outdir, "ref_v1.h5")),
+        variables, 3, 2))
+    out, _ = model.apply(merged, jnp.asarray(io["x"]), train=True,
+                         mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out), io["out"], atol=5e-4)
+
+
+def test_yolov2_forward_matches_reference(tmp_path_factory):
+    import jax
+    import jax.numpy as jnp
+    from tf2_yolo_tpu.convert import (load_h5_weights,
+                                      convert_yolov2_positional,
+                                      merge_into_variables)
+    from tf2_yolo_tpu.models import YoloV2
+
+    outdir = _export_v1v2(tmp_path_factory, 2)
+    io = np.load(os.path.join(outdir, "ref_io.npz"))
+    anchors = np.array([[0.25, 0.25], [0.35, 0.12]], np.float32)
+    model = YoloV2(anchors=anchors, class_num=3)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 128, 128, 3)), train=False)
+    merged = merge_into_variables(variables, *convert_yolov2_positional(
+        load_h5_weights(os.path.join(outdir, "ref_v2.h5")),
+        variables, 3, 2))
+    out, _ = model.apply(merged, jnp.asarray(io["x"]), train=True,
+                         mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out), io["out"],
+                               rtol=1e-2, atol=2e-3)
+
+
 def test_yolov3_forward_matches_reference(ref_export_v3):
     import jax
     import jax.numpy as jnp

@@ -259,6 +259,132 @@ def convert_yolov3(h5_path_or_weights, class_num, abox_num=3,
     return params, stats
 
 
+# ---------------------------------------------------------------------
+# YOLOv1 / YOLOv2 positional mapping
+# ---------------------------------------------------------------------
+# The reference v1/v2 builders use keras auto-generated layer names
+# (conv2d, conv2d_1, ..., batch_normalization_N), so the mapping is
+# positional: layer creation order in the reference equals module call
+# order here (verified by forward-parity tests).
+
+def _numbered(h5w, prefix):
+    """h5 layers named `prefix`, `prefix_1`, ... in numeric order."""
+    def idx(name):
+        tail = name[len(prefix):]
+        return int(tail[1:]) if tail.startswith("_") else 0
+    names = [k for k in h5w
+             if k == prefix or k.startswith(prefix + "_")]
+    # filter exact family (avoid conv2d vs conv2d_transpose etc.)
+    names = [k for k in names
+             if k[len(prefix):] == "" or
+             k[len(prefix) + 1:].isdigit()]
+    return [h5w[k] for k in sorted(names, key=idx)]
+
+
+def _suffix_sorted(keys, prefix="ConvBN_"):
+    return sorted((k for k in keys if k.startswith(prefix)),
+                  key=lambda k: int(k[len(prefix):]))
+
+
+def _assign_convbn_positional(params, stats, path, conv, bn):
+    entry = {"kernel": conv["kernel"]}
+    if "bias" in conv:
+        entry["bias"] = conv["bias"]
+    _set_in(params, path + ("conv",), entry)
+    if bn is not None:
+        _set_in(params, path + ("bn",),
+                {"scale": bn["gamma"], "bias": bn["beta"]})
+        _set_in(stats, path + ("bn",),
+                {"mean": bn["moving_mean"],
+                 "var": bn["moving_variance"]})
+
+
+def convert_yolov2_positional(h5_path_or_weights, variables,
+                              class_num, abox_num):
+    """Convert a reference YOLOv2 h5 (darknet backbone) by position.
+
+    Layer creation order in the reference (yolov2/models/darknet.py:
+    32-106): 18 backbone conv+BN pairs, neck 1024, neck 1024,
+    passthrough 64, neck 1024, then per-anchor head convs
+    (xy, wh, conf, prob) x abox_num without BN.
+    """
+    h5w = (h5_path_or_weights
+           if isinstance(h5_path_or_weights, dict)
+           else load_h5_weights(h5_path_or_weights))
+    convs = _numbered(h5w, "conv2d")
+    bns = _numbered(h5w, "batch_normalization")
+
+    params, stats = {}, {}
+    backbone_keys = _suffix_sorted(variables["params"]["backbone"])
+    ordered = [("backbone", k) for k in backbone_keys]
+    ordered += [("neck1",), ("neck2",), ("passthrough",), ("neck3",)]
+    if len(convs) != len(ordered) + 4 * abox_num:
+        raise ValueError(
+            f"expected {len(ordered) + 4 * abox_num} convs, h5 has "
+            f"{len(convs)}")
+    if len(bns) != len(ordered):
+        raise ValueError(
+            f"expected {len(ordered)} batch_normalization layers, "
+            f"h5 has {len(bns)}")
+
+    for path, conv, bn in zip(ordered, convs, bns):
+        _assign_convbn_positional(params, stats, path, conv, bn)
+
+    head_convs = convs[len(ordered):]
+    kernels, biases = [], []
+    for j in range(abox_num):
+        group = head_convs[4 * j:4 * j + 4]     # xy, wh, conf, prob
+        for lay, ch in zip(group, (2, 2, 1, class_num)):
+            k = lay["kernel"]
+            if k.shape[-1] != ch:
+                raise ValueError(
+                    f"head conv channel mismatch: {k.shape[-1]} vs "
+                    f"{ch}")
+            kernels.append(k)
+            biases.append(lay.get("bias", np.zeros(ch, np.float32)))
+    _set_in(params, ("head", "conv"),
+            {"kernel": np.concatenate(kernels, axis=-1),
+             "bias": np.concatenate(biases, axis=-1)})
+    return params, stats
+
+
+def convert_yolov1_positional(h5_path_or_weights, variables,
+                              class_num, bbox_num):
+    """Convert a reference YOLOv1.5 h5 by position: 24 backbone
+    conv+BN pairs, then the sigmoid xywhc conv (5*B ch) and softmax
+    prob conv (C ch) which concatenate into the fused v1 head
+    (reference yolov1_5/models/darknet.py:37-55)."""
+    h5w = (h5_path_or_weights
+           if isinstance(h5_path_or_weights, dict)
+           else load_h5_weights(h5_path_or_weights))
+    convs = _numbered(h5w, "conv2d")
+    bns = _numbered(h5w, "batch_normalization")
+
+    params, stats = {}, {}
+    backbone_keys = _suffix_sorted(variables["params"]["backbone"])
+    if len(convs) != len(backbone_keys) + 2:
+        raise ValueError(
+            f"expected {len(backbone_keys) + 2} convs, h5 has "
+            f"{len(convs)}")
+    for key, conv, bn in zip(backbone_keys, convs, bns):
+        _assign_convbn_positional(params, stats, ("backbone", key),
+                                  conv, bn)
+
+    xywhc, prob = convs[-2], convs[-1]
+    if xywhc["kernel"].shape[-1] != 5 * bbox_num:
+        raise ValueError("xywhc head conv channel mismatch")
+    if prob["kernel"].shape[-1] != class_num:
+        raise ValueError("prob head conv channel mismatch")
+    _set_in(params, ("head", "conv"), {
+        "kernel": np.concatenate(
+            [xywhc["kernel"], prob["kernel"]], axis=-1),
+        "bias": np.concatenate(
+            [xywhc.get("bias", np.zeros(5 * bbox_num, np.float32)),
+             prob.get("bias", np.zeros(class_num, np.float32))],
+            axis=-1)})
+    return params, stats
+
+
 def merge_into_variables(variables, params, batch_stats):
     """Merge converted partial trees into a model's variables dict,
     checking shape agreement."""

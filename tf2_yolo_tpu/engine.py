@@ -280,6 +280,9 @@ class Model:
         n = x.shape[0]
         mesh = make_mesh(best_data_axis(min(batch_size, n) or 1))
         shard = batch_sharding(mesh)
+        # variables may live on a different mesh (e.g. fit() used a
+        # smaller data axis) — re-replicate them on this mesh
+        variables = jax.device_put(variables, replicated(mesh))
         outs_acc = None
         for lo in range(0, n, batch_size):
             xb = x[lo:lo + batch_size]
