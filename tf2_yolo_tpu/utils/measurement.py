@@ -32,6 +32,43 @@ def _decode_pair(y_true, y_pred_list, class_num, conf_threshold,
     return xywhcp_true, xywhcp_pred
 
 
+def decode_batch_device(y_trues, y_preds, class_num, conf_threshold,
+                        nms_mode, nms_threshold, nms_sigma, version,
+                        max_boxes=256):
+    """Device fast path for evaluation: batched decode (+ NMS) of ALL
+    images in one jit call each, then per-image numpy row extraction.
+
+    Replaces the per-image host decode/NMS loops the reference runs in
+    Python (measurement.py:217-236); survivors match the host path
+    (tests/test_device_decode_nms.py) so downstream matching/mAP is
+    unchanged.
+
+    Returns:
+        (true_rows_list, pred_rows_list): per-image (N_i, 7) arrays.
+    """
+    from ..ops import decode_multi_level, apply_nms_device
+
+    y_trues = np.asarray(y_trues)
+    t_rows, t_valid = decode_multi_level(
+        [y_trues], class_num=class_num, threshold=0.5,
+        max_boxes=max_boxes, version=version)
+    p_rows, p_valid = decode_multi_level(
+        [np.asarray(p) for p in y_preds], class_num=class_num,
+        threshold=conf_threshold, max_boxes=max_boxes,
+        version=version)
+    if nms_mode > 0:
+        p_rows, p_valid = apply_nms_device(
+            p_rows, p_valid, nms_mode=nms_mode,
+            nms_threshold=nms_threshold, conf_threshold=conf_threshold,
+            nms_sigma=nms_sigma)
+    t_rows, t_valid = np.asarray(t_rows), np.asarray(t_valid)
+    p_rows, p_valid = np.asarray(p_rows), np.asarray(p_valid)
+
+    trues = [t_rows[i][t_valid[i]] for i in range(len(y_trues))]
+    preds = [p_rows[i][p_valid[i]] for i in range(len(y_trues))]
+    return trues, preds
+
+
 def _split_rows(xywhcp):
     """(rows, class_idx array) with empty-safe class extraction."""
     if len(xywhcp) > 0:
@@ -47,24 +84,38 @@ def create_score_mat(y_trues, *y_preds,
                      nms_sigma=0.5,
                      iou_threshold=0.5,
                      precision_mode=2,
-                     version=3):
+                     version=3,
+                     device=False):
     """Precision/recall/F1/gts/dets table per class.
 
     precision modes (reference measurement.py:51-57):
         0: TPP/PP   1: TP/(PP-(TPP-TP))   2: TP/PP
+
+    ``device=True`` runs decode + NMS for ALL images as batched jit
+    calls on the accelerator instead of per-image host loops.
     """
     import pandas as pd
 
     class_num = len(class_names)
+    dev_rows = None
+    if device:
+        dev_rows = decode_batch_device(
+            y_trues, y_preds, class_num, conf_threshold, nms_mode,
+            nms_threshold, nms_sigma, version)
     pp_p = np.zeros((class_num, 2))        # [pred positives, positives]
     tp = np.zeros((class_num, 2))          # [tpp, tp]
     det_counts = np.zeros((class_num,), dtype="int")
 
     for i_img in range(len(y_trues)):
-        pred_list = [y_preds[j][i_img] for j in range(len(y_preds))]
-        true_rows, pred_rows = _decode_pair(
-            y_trues[i_img], pred_list, class_num, conf_threshold,
-            nms_mode, nms_threshold, nms_sigma, version)
+        if dev_rows is not None:
+            true_rows, pred_rows = (dev_rows[0][i_img],
+                                    dev_rows[1][i_img])
+        else:
+            pred_list = [y_preds[j][i_img]
+                         for j in range(len(y_preds))]
+            true_rows, pred_rows = _decode_pair(
+                y_trues[i_img], pred_list, class_num, conf_threshold,
+                nms_mode, nms_threshold, nms_sigma, version)
         true_rows, true_cls = _split_rows(true_rows)
         pred_rows, pred_cls = _split_rows(pred_rows)
 
@@ -116,20 +167,32 @@ class PRfunc:
                  iou_threshold=0.5,
                  precision_mode=2,
                  max_per_img=100,
-                 version=3):
+                 version=3,
+                 device=False):
         class_num = len(class_names)
         self.class_num = class_num
         self.class_names = list(class_names)
+        dev_rows = None
+        if device:
+            dev_rows = decode_batch_device(
+                y_trues, y_preds, class_num, conf_threshold, nms_mode,
+                nms_threshold, nms_sigma, version)
 
         gts = [0] * class_num
         detections = [np.empty((0, 3), dtype="float32")
                       for _ in range(class_num)]
 
         for i_img in range(len(y_trues)):
-            pred_list = [y_preds[j][i_img] for j in range(len(y_preds))]
-            true_rows, pred_rows = _decode_pair(
-                y_trues[i_img], pred_list, class_num, conf_threshold,
-                nms_mode, nms_threshold, nms_sigma, version)
+            if dev_rows is not None:
+                true_rows, pred_rows = (dev_rows[0][i_img],
+                                        dev_rows[1][i_img])
+            else:
+                pred_list = [y_preds[j][i_img]
+                             for j in range(len(y_preds))]
+                true_rows, pred_rows = _decode_pair(
+                    y_trues[i_img], pred_list, class_num,
+                    conf_threshold, nms_mode, nms_threshold,
+                    nms_sigma, version)
             true_rows, true_cls = _split_rows(true_rows)
             pred_rows, pred_cls = _split_rows(pred_rows)
 
