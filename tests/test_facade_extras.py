@@ -1,0 +1,81 @@
+"""Facade extras: v3 pyramid sequence laziness, validation_data,
+metric spec strings, config->v4 build."""
+
+import numpy as np
+import pytest
+
+from tests.helpers_data import make_dataset
+
+
+def test_v3_pyramid_sequence_lazy(tmp_path):
+    from tf2_yolo_tpu import yolov3
+
+    img_dir, lab_dir = make_dataset(str(tmp_path), n_images=5,
+                                    size=(96, 96))
+    yolo = yolov3.Yolo(input_shape=(96, 96, 3),
+                       class_names=["square", "bar"])
+    yolo.create_model(
+        anchors=[[0.4, 0.4], [0.2, 0.2], [0.1, 0.3], [0.1, 0.1]],
+        backbone="tiny_darknet", pretrained_body=None)
+    seq = yolo.read_file_to_sequence(img_dir, lab_dir, batch_size=2,
+                                     encoding="utf-8", shuffle=False)
+    assert len(seq) == 3
+    img, labels = seq[0]
+    assert img.shape == (2, 96, 96, 3)
+    assert [l.shape for l in labels] == [(2, 3, 3, 7), (2, 6, 6, 7)]
+    # object conservation across pyramid: coarse <= fine count
+    assert labels[0][..., 4].sum() <= labels[1][..., 4].sum()
+    # iterator protocol
+    batches = list(seq.as_iterator())
+    assert len(batches) == 3
+    assert batches[-1][0].shape[0] == 1
+
+
+def test_fit_with_validation_data(tmp_path):
+    from tf2_yolo_tpu import yolov2
+
+    img_dir, lab_dir = make_dataset(str(tmp_path), n_images=6,
+                                    size=(96, 96))
+    yolo = yolov2.Yolo(input_shape=(96, 96, 3),
+                       class_names=["square", "bar"])
+    yolo.create_model(anchors=[[0.2, 0.2], [0.35, 0.1]])
+    img, label = yolo.read_file_to_dataset(img_dir, lab_dir,
+                                           encoding="utf-8",
+                                           shuffle=False)
+    yolo.model.compile("adam", loss=yolo.loss(),
+                       metrics=yolo.metrics("obj"))
+    hist = yolo.model.fit(img[:4], label[:4], epochs=1, batch_size=4,
+                          verbose=0,
+                          validation_data=(img[4:], label[4:]))
+    assert "val_loss" in hist and np.isfinite(hist["val_loss"][0])
+    assert "val_obj_acc" in hist
+
+
+def test_metric_spec_parsing():
+    from tf2_yolo_tpu import yolov2, yolov3
+
+    y2 = yolov2.Yolo(input_shape=(96, 96, 3), class_names=["a"])
+    fns = y2.metrics("obj_acc+mean_iou+class_acc+recall0.6")
+    assert len(fns) == 4
+    assert [f.__name__ for f in fns] == ["obj_acc", "mean_iou",
+                                         "class_acc", "recall"]
+    # recall threshold parsing with trailing spec
+    fns = y2.metrics("recall0.75+obj")
+    assert len(fns) == 2
+
+    y3 = yolov3.Yolo(input_shape=(96, 96, 3), class_names=["a"])
+    nested = y3.metrics("obj+iou")
+    assert len(nested) == 3 and all(len(l) == 2 for l in nested)
+
+
+def test_config_builds_v4():
+    from tf2_yolo_tpu import YoloConfig
+
+    cfg = YoloConfig(version=4, input_shape=(96, 96, 3),
+                     class_names=["a"],
+                     anchors=[[0.1 * i, 0.1 * i]
+                              for i in range(1, 10)],
+                     pretrained_body=None)
+    yolo = cfg.build()
+    losses = cfg.build_loss(yolo)
+    assert len(losses) == 3

@@ -215,7 +215,8 @@ class YoloDataSequence:
         imgs, labels = native.load_and_encode_batch(
             img_paths, xml_paths, self.size, self.grid_shape,
             self.class_names,
-            threads=max(self.thread_num, 1))
+            threads=max(1, min(self.thread_num,
+                               os.cpu_count() or 1)))
         img_batch = imgs.astype(np.float64)
         label_batch = labels.astype(np.float64)
         return img_batch, label_batch
