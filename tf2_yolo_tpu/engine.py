@@ -92,7 +92,8 @@ class Model:
 
     # ------------------------------------------------------------------
     def compile(self, optimizer="adam", loss=None, metrics=None,
-                learning_rate=1e-4, frozen=None):
+                learning_rate=1e-4, frozen=None,
+                accumulate_steps=1, ema_decay=None):
         """Configure training.
 
         Args:
@@ -102,6 +103,9 @@ class Model:
                 (the v3/v4 facade convention).
             learning_rate: float or optax schedule.
             frozen: predicate (path, leaf) -> bool for frozen params.
+            accumulate_steps: gradient accumulation factor (>1 wraps
+                the optimizer in optax.MultiSteps).
+            ema_decay: optional EMA smoothing of parameter updates.
         """
         if loss is None:
             raise ValueError("compile() requires a loss")
@@ -130,7 +134,9 @@ class Model:
                 metric_names.append(
                     [_metric_name(f, prefix) for f in fns])
 
-        self._tx = make_optimizer(optimizer, learning_rate, frozen)
+        self._tx = make_optimizer(optimizer, learning_rate, frozen,
+                                  accumulate_steps=accumulate_steps,
+                                  ema_decay=ema_decay)
         self._loss_fns = loss_fns
         self._metric_fns = metric_fns
         self._metric_names = metric_names

@@ -108,7 +108,9 @@ def make_eval_step(apply_fn: Callable,
 
 
 def make_optimizer(optimizer="adam", learning_rate=1e-4,
-                   frozen: Optional[Callable] = None
+                   frozen: Optional[Callable] = None,
+                   accumulate_steps: int = 1,
+                   ema_decay: Optional[float] = None
                    ) -> optax.GradientTransformation:
     """Build an optax transform from a keras-style spec.
 
@@ -119,6 +121,10 @@ def make_optimizer(optimizer="adam", learning_rate=1e-4,
         frozen: optional predicate (path_tuple, leaf) -> bool marking
             parameters to freeze (e.g. v4 anchors when
             ``anchors_trainable`` is False).
+        accumulate_steps: >1 wraps in optax.MultiSteps (gradient
+            accumulation for effective batches beyond HBM).
+        ema_decay: if set, maintain an exponential moving average of
+            updates (production-serving weight smoothing).
     """
     if isinstance(optimizer, optax.GradientTransformation):
         tx = optimizer
@@ -133,6 +139,8 @@ def make_optimizer(optimizer="adam", learning_rate=1e-4,
     else:
         raise ValueError(f"Unknown optimizer: {optimizer}")
 
+    if ema_decay is not None:
+        tx = optax.chain(tx, optax.ema(ema_decay))
     if frozen is not None:
         def label_fn(params):
             flat = jax.tree_util.tree_map_with_path(
@@ -141,4 +149,6 @@ def make_optimizer(optimizer="adam", learning_rate=1e-4,
             return flat
         tx = optax.multi_transform(
             {"train": tx, "frozen": optax.set_to_zero()}, label_fn)
+    if accumulate_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
     return tx
