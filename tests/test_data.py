@@ -165,3 +165,22 @@ def test_augment_flip_boxes_consistent():
     out_img, out_boxes = augment.RandomFlipLR(prob=1.0)(img, boxes)
     np.testing.assert_allclose(out_boxes[0, :4], [14, 1, 18, 5])
     assert out_boxes[0, 4] == 1.0
+
+
+def test_prefetch_to_device_sharded():
+    import jax
+    from tf2_yolo_tpu.data import prefetch_to_device, threaded_prefetch
+    from tf2_yolo_tpu.parallel import make_mesh, batch_sharding
+
+    batches = [(np.ones((8, 4, 4, 3)) * i, np.zeros((8, 2, 2, 6)))
+               for i in range(5)]
+    mesh = make_mesh(8)
+    out = list(prefetch_to_device(iter(batches), size=2,
+                                  sharding=batch_sharding(mesh)))
+    assert len(out) == 5
+    for i, (img, lab) in enumerate(out):
+        assert isinstance(img, jax.Array)
+        np.testing.assert_allclose(np.asarray(img)[0, 0, 0, 0], i)
+
+    got = list(threaded_prefetch(lambda: iter(batches), size=2))
+    assert len(got) == 5
