@@ -17,7 +17,7 @@ import time
 import numpy as np
 
 BASELINE_IMG_PER_SEC = 25.0     # assumed tf.keras-GPU reference rate
-BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 SIZE = int(os.environ.get("BENCH_SIZE", "416"))
 CLASSES = int(os.environ.get("BENCH_CLASSES", "3"))   # BCCD config
 WARMUP = 3
