@@ -43,6 +43,7 @@ def main():
     anchors = np.stack([np.linspace(0.05, 0.75, 9),
                         np.linspace(0.07, 0.65, 9)], axis=1)
     module = YoloV4(anchors=anchors, class_num=CLASSES,
+                    remat=os.environ.get("BENCH_REMAT") == "1",
                     dtype=compute_dtype)
 
     rng = np.random.RandomState(0)

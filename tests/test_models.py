@@ -119,3 +119,19 @@ def test_darknet_stride2_asymmetric_padding():
     # (0,0),(0,2),(0,4) / (2,0)... i.e. even coordinates
     np.testing.assert_array_equal(out[0, :, :, 0],
                                   xin[0, ::2, ::2, 0])
+
+
+def test_yolov4_remat_matches_no_remat():
+    """jax.checkpoint over CSP stages must not change the math."""
+    from tf2_yolo_tpu.models import YoloV4
+    anchors = np.full((9, 2), 0.3)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3),
+                    jnp.float32)
+    m0 = YoloV4(anchors=anchors, class_num=2, remat=False)
+    m1 = YoloV4(anchors=anchors, class_num=2, remat=True)
+    v = m0.init(jax.random.PRNGKey(0), x, train=False)
+    o0 = m0.apply(v, x, train=False)
+    o1 = m1.apply(v, x, train=False)
+    for a, b in zip(o0, o1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6)

@@ -247,20 +247,29 @@ class CSPDarknet53(nn.Module):
     stride-32 1024ch stage outputs — the PAN taps the reference
     reaches via keras layer indices 131 and 204
     (yolov4/models/darknet.py:100, :109).
+
+    ``remat=True`` rematerializes each CSP stage on the backward pass
+    (jax.checkpoint), trading ~30% extra forward FLOPs for activation
+    memory — enables much larger per-chip batches.
     """
     bn_axis_name: Optional[str] = None
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         kw = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype)
+        # static_argnums=(2,): the `train` bool drives Python control
+        # flow (BN mode) and must stay static under checkpointing
+        stage_cls = (nn.remat(CSPStage, static_argnums=(2,))
+                     if self.remat else CSPStage)
         x = ConvBN(32, 3, act="mish", **kw, name="stem")(x, train)
         taps = {}
         for i, (f, blocks, narrow) in enumerate(
                 [(64, 1, False), (128, 2, True), (256, 8, True),
                  (512, 8, True), (1024, 4, True)]):
-            x = CSPStage(f, blocks, narrow, **kw,
-                         name=f"stage{i + 1}")(x, train)
+            x = stage_cls(f, blocks, narrow, **kw,
+                          name=f"stage{i + 1}")(x, train)
             taps[f] = x
         return taps[256], taps[512], taps[1024]
 

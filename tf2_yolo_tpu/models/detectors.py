@@ -182,6 +182,7 @@ class YoloV4(nn.Module):
     class_num: int = 1
     backbone: str = "csp_darknet"
     bn_axis_name: Optional[str] = None
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -190,7 +191,8 @@ class YoloV4(nn.Module):
         if self.backbone.startswith("resnet"):
             c3, c4, c5 = _resnet_from_name(self.backbone, **kw)(x, train)
         else:
-            c3, c4, c5 = CSPDarknet53(**kw, name="backbone")(x, train)
+            c3, c4, c5 = CSPDarknet53(remat=self.remat, **kw,
+                                      name="backbone")(x, train)
 
         # top-down path with SPP at the coarsest level
         t_s = ConvBN(512, 1, act="leaky", **kw, name="td1_pre1")(c5, train)
