@@ -79,3 +79,28 @@ def test_config_builds_v4():
     yolo = cfg.build()
     losses = cfg.build_loss(yolo)
     assert len(losses) == 3
+
+
+def test_fit_remainder_batch_mesh_switch(tmp_path):
+    """A remainder batch switches the data mesh; the train state must
+    follow it (regression for incompatible-device errors)."""
+    from tf2_yolo_tpu import yolov2
+
+    img_dir, lab_dir = make_dataset(str(tmp_path), n_images=6,
+                                    size=(96, 96))
+    yolo = yolov2.Yolo(input_shape=(96, 96, 3),
+                       class_names=["square", "bar"])
+    yolo.create_model(anchors=[[0.2, 0.2], [0.35, 0.1]])
+    img, label = yolo.read_file_to_dataset(img_dir, lab_dir,
+                                           encoding="utf-8",
+                                           shuffle=False)
+    yolo.model.compile("adam", loss=yolo.loss())
+    # batch 4 over 6 images -> batches of 4 (mesh d=4) and 2 (d=2)
+    hist = yolo.model.fit(img, label, epochs=2, batch_size=4,
+                          verbose=0)
+    assert np.isfinite(hist["loss"]).all()
+    pred = yolo.model.predict(img, batch_size=4)
+    assert pred.shape[0] == 6
+    # empty-input predict returns an empty array, not a crash
+    empty = yolo.model.predict(np.zeros((0, 96, 96, 3), np.float32))
+    assert empty.shape[0] == 0

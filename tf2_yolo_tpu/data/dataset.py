@@ -251,16 +251,24 @@ class YoloDataSequence:
         else:
             per = ceil(bsz / self.thread_num)
             threads = []
+            errors = []
             for w0 in range(0, bsz, per):
                 def work(lo=w0):
-                    for i in range(lo, min(lo + per, bsz)):
-                        self._read_one(names[i], img_batch,
-                                       label_batch, i)
+                    try:
+                        for i in range(lo, min(lo + per, bsz)):
+                            self._read_one(names[i], img_batch,
+                                           label_batch, i)
+                    except BaseException as exc:   # propagate to caller
+                        errors.append(exc)
                 threads.append(threading.Thread(target=work))
             for t in threads:
                 t.start()
             for t in threads:
                 t.join()
+            if errors:
+                # a swallowed worker error would hand the trainer
+                # uninitialized np.empty image rows
+                raise errors[0]
 
         if self.show_progress:
             print(f"\r{min(100, ceil((start + bsz) / total * 100)):3d}% "
@@ -274,20 +282,7 @@ class YoloDataSequence:
     def as_iterator(self, prefetch=2):
         """Epoch iterator with background-thread prefetch so host IO
         and augmentation overlap the device step."""
-        import queue
+        from .pipeline import threaded_prefetch
 
-        q = queue.Queue(maxsize=prefetch)
-        sentinel = object()
-
-        def producer():
-            for i in range(len(self)):
-                q.put(self[i])
-            q.put(sentinel)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
+        yield from threaded_prefetch(
+            lambda: (self[i] for i in range(len(self))), prefetch)

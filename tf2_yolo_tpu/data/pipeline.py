@@ -48,20 +48,41 @@ def prefetch_to_device(iterator, size=2, sharding=None):
 def threaded_prefetch(make_iterator, size=2):
     """Run a host iterator in a background thread with a bounded
     queue (host-side overlap; compose with prefetch_to_device for the
-    transfer overlap)."""
+    transfer overlap).
+
+    Cancellation-safe: if the consumer abandons the generator
+    mid-epoch (exception in the train step, early break), the producer
+    notices via a stop event instead of blocking forever on the full
+    queue. Producer exceptions re-raise in the consumer.
+    """
     q = queue.Queue(maxsize=size)
     sentinel = object()
+    stop = threading.Event()
 
     def producer():
         try:
             for item in make_iterator():
-                q.put(item)
-        finally:
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
             q.put(sentinel)
+        except BaseException as exc:      # surface in the consumer
+            q.put(exc)
 
-    threading.Thread(target=producer, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            return
-        yield item
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()

@@ -191,8 +191,27 @@ class Model:
         """
         self._ensure_state()
         rng = np.random.RandomState(seed)
-        mesh = make_mesh(best_data_axis(batch_size))
-        shard = batch_sharding(mesh)
+        # meshes are derived from the ACTUAL batch shape (a sequence's
+        # batch size may differ from the batch_size argument), cached
+        # per data-axis size
+        meshes = {}
+
+        def shard_for(n_rows):
+            d = best_data_axis(n_rows)
+            if d not in meshes:
+                mesh = make_mesh(d)
+                meshes[d] = (mesh, batch_sharding(mesh))
+            return meshes[d]
+
+        state_mesh = [None]
+
+        def place_state(mesh):
+            # a remainder batch can switch meshes; the state must move
+            # with it or jit sees incompatible device sets
+            if state_mesh[0] is not mesh:
+                self._state = jax.device_put(self._state,
+                                             replicated(mesh))
+                state_mesh[0] = mesh
 
         history = {"loss": []}
         profiling = False
@@ -201,7 +220,7 @@ class Model:
             profiling = True
         for epoch in range(epochs):
             t0 = time.time()
-            logs_sum, steps = {}, 0
+            logs_acc = []       # device scalars; host sync at epoch end
             if hasattr(x, "__getitem__") and y is None \
                     and not isinstance(x, np.ndarray):
                 iterator = (x.as_iterator() if hasattr(x, "as_iterator")
@@ -214,15 +233,19 @@ class Model:
                 yb_t = tuple(jnp.asarray(v, jnp.float32) for v in yb) \
                     if isinstance(yb, (list, tuple)) \
                     else (jnp.asarray(yb, jnp.float32),)
-                if xb.shape[0] % mesh.shape["data"] == 0:
-                    xb = jax.device_put(xb, shard)
-                    yb_t = tuple(jax.device_put(v, shard) for v in yb_t)
+                mesh, shard = shard_for(xb.shape[0])
+                place_state(mesh)
+                xb = jax.device_put(xb, shard)
+                yb_t = tuple(jax.device_put(v, shard) for v in yb_t)
                 self._state, logs = self._train_step(
                     self._state, xb, yb_t)
-                steps += 1
+                logs_acc.append(logs)
+
+            steps = len(logs_acc)
+            logs_sum = {}
+            for logs in logs_acc:   # epoch-end host sync
                 for k, v in logs.items():
                     logs_sum[k] = logs_sum.get(k, 0.0) + float(v)
-
             means = {k: v / max(steps, 1) for k, v in logs_sum.items()}
             if validation_data is not None:
                 val_logs = self.evaluate(*validation_data,
@@ -284,6 +307,12 @@ class Model:
 
         x = np.asarray(x, np.float32)
         n = x.shape[0]
+        if n == 0:
+            shapes = (self.output_shapes
+                      if isinstance(self.output_shapes, list)
+                      else [self.output_shapes])
+            empty = [np.zeros((0, *s[1:]), np.float32) for s in shapes]
+            return empty if self.n_outputs > 1 else empty[0]
         mesh = make_mesh(best_data_axis(min(batch_size, n) or 1))
         shard = batch_sharding(mesh)
         # variables may live on a different mesh (e.g. fit() used a

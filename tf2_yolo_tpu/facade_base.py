@@ -76,23 +76,10 @@ class _LabelPyramidSequence:
         return img, labels
 
     def as_iterator(self, prefetch=2):
-        import queue
-        import threading
+        from .data.pipeline import threaded_prefetch
 
-        q = queue.Queue(maxsize=prefetch)
-        sentinel = object()
-
-        def producer():
-            for i in range(len(self)):
-                q.put(self[i])
-            q.put(sentinel)
-
-        threading.Thread(target=producer, daemon=True).start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
+        yield from threaded_prefetch(
+            lambda: (self[i] for i in range(len(self))), prefetch)
 
 
 class YoloBase:

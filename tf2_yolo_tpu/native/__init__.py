@@ -28,10 +28,36 @@ _lock = threading.Lock()
 _build_error = None
 
 
+_MARKER = _SO + ".host"     # records which host built the .so
+
+
+def _host_id():
+    import platform
+    return f"{platform.machine()}-{platform.node()}"
+
+
 def _build():
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+    # no -march=native: the .so may outlive the build host (a binary
+    # with AVX-512 would SIGILL on a lesser CPU instead of falling
+    # back); -O3 + the compiler's default arch is close enough for an
+    # IO-bound loader
+    cmd = ["g++", "-O3", "-shared", "-fPIC",
            "-std=c++17", _SRC, "-ljpeg", "-lpng", "-o", _SO]
     subprocess.run(cmd, check=True, capture_output=True)
+    with open(_MARKER, "w") as f:
+        f.write(_host_id())
+
+
+def _needs_build():
+    if not os.path.exists(_SO):
+        return True
+    if os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        return True
+    try:
+        with open(_MARKER) as f:
+            return f.read() != _host_id()
+    except OSError:
+        return True    # unknown provenance (e.g. checked-out binary)
 
 
 def _load():
@@ -40,8 +66,7 @@ def _load():
         if _lib is not None or _build_error is not None:
             return _lib
         try:
-            if (not os.path.exists(_SO)
-                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            if _needs_build():
                 _build()
             lib = ctypes.CDLL(_SO)
         except (OSError, subprocess.CalledProcessError) as e:

@@ -34,14 +34,20 @@ def _decode_pair(y_true, y_pred_list, class_num, conf_threshold,
 
 def decode_batch_device(y_trues, y_preds, class_num, conf_threshold,
                         nms_mode, nms_threshold, nms_sigma, version,
-                        max_boxes=256):
-    """Device fast path for evaluation: batched decode (+ NMS) of ALL
-    images in one jit call each, then per-image numpy row extraction.
+                        max_boxes=256, chunk=64):
+    """Device fast path for evaluation: decode (+ NMS) in chunked
+    batched jit calls, then per-image numpy row extraction.
 
     Replaces the per-image host decode/NMS loops the reference runs in
     Python (measurement.py:217-236); survivors match the host path
     (tests/test_device_decode_nms.py) so downstream matching/mAP is
     unchanged.
+
+    ``chunk`` bounds device memory (the joint-confidence lattice is
+    materialized per chunk, not for the whole dataset). ``max_boxes``
+    caps pre-NMS candidates per image; unlike the unbounded host path,
+    an image that saturates the cap is truncated to its top-k by joint
+    confidence — a warning is emitted when that happens.
 
     Returns:
         (true_rows_list, pred_rows_list): per-image (N_i, 7) arrays.
@@ -49,23 +55,36 @@ def decode_batch_device(y_trues, y_preds, class_num, conf_threshold,
     from ..ops import decode_multi_level, apply_nms_device
 
     y_trues = np.asarray(y_trues)
-    t_rows, t_valid = decode_multi_level(
-        [y_trues], class_num=class_num, threshold=0.5,
-        max_boxes=max_boxes, version=version)
-    p_rows, p_valid = decode_multi_level(
-        [np.asarray(p) for p in y_preds], class_num=class_num,
-        threshold=conf_threshold, max_boxes=max_boxes,
-        version=version)
-    if nms_mode > 0:
-        p_rows, p_valid = apply_nms_device(
-            p_rows, p_valid, nms_mode=nms_mode,
-            nms_threshold=nms_threshold, conf_threshold=conf_threshold,
-            nms_sigma=nms_sigma)
-    t_rows, t_valid = np.asarray(t_rows), np.asarray(t_valid)
-    p_rows, p_valid = np.asarray(p_rows), np.asarray(p_valid)
+    n = len(y_trues)
+    trues, preds = [], []
+    saturated = 0
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        t_rows, t_valid = decode_multi_level(
+            [y_trues[lo:hi]], class_num=class_num, threshold=0.5,
+            max_boxes=max_boxes, version=version)
+        p_rows, p_valid = decode_multi_level(
+            [np.asarray(p[lo:hi]) for p in y_preds],
+            class_num=class_num, threshold=conf_threshold,
+            max_boxes=max_boxes, version=version)
+        saturated += int(
+            (np.asarray(p_valid).sum(axis=1) >= max_boxes).sum())
+        if nms_mode > 0:
+            p_rows, p_valid = apply_nms_device(
+                p_rows, p_valid, nms_mode=nms_mode,
+                nms_threshold=nms_threshold,
+                conf_threshold=conf_threshold, nms_sigma=nms_sigma)
+        t_rows, t_valid = np.asarray(t_rows), np.asarray(t_valid)
+        p_rows, p_valid = np.asarray(p_rows), np.asarray(p_valid)
+        trues.extend(t_rows[i][t_valid[i]] for i in range(hi - lo))
+        preds.extend(p_rows[i][p_valid[i]] for i in range(hi - lo))
 
-    trues = [t_rows[i][t_valid[i]] for i in range(len(y_trues))]
-    preds = [p_rows[i][p_valid[i]] for i in range(len(y_trues))]
+    if saturated:
+        warnings.warn(
+            f"device eval: {saturated} image(s) hit the max_boxes="
+            f"{max_boxes} pre-NMS cap; results keep only their top-k "
+            "candidates by joint confidence (raise max_boxes or the "
+            "conf_threshold for exact host-path parity)")
     return trues, preds
 
 
