@@ -121,3 +121,30 @@ def test_save_load_weights_roundtrip(dataset, tmp_path):
                        pretrained_weights=path)
     after = yolo2.model.predict(x)
     np.testing.assert_allclose(before, after, rtol=1e-5, atol=1e-6)
+
+
+def test_v1_end_to_end(dataset):
+    from tf2_yolo_tpu import yolov1_5
+    from tf2_yolo_tpu.utils import decode
+
+    img_dir, lab_dir = dataset
+    yolo = yolov1_5.Yolo(input_shape=(128, 128, 3),
+                         class_names=["square", "bar"])
+    yolo.create_model(bbox_num=2)
+    assert yolo.grid_shape == (2, 2)
+
+    img, label = yolo.read_file_to_dataset(
+        img_dir, lab_dir, encoding="utf-8", shuffle=False)
+    assert label.shape == (8, 2, 2, 7)
+
+    yolo.model.compile("adam", learning_rate=1e-3,
+                       loss=yolo.loss(binary_weight=0.5),
+                       metrics=yolo.metrics("obj+iou"))
+    hist = yolo.model.fit(img, label, epochs=1, batch_size=4,
+                          verbose=0)
+    assert np.isfinite(hist["loss"]).all()
+    pred = yolo.model.predict(img)
+    assert pred.shape == (8, 2, 2, 5 * 2 + 2)
+    rows = decode(pred[0], class_num=2, threshold=0.0 + 1e-9,
+                  version=1)
+    assert rows.shape[1] == 7

@@ -48,8 +48,14 @@ class Yolo(YoloBase):
                         backbone=backbone, dtype=dtype or jnp.float32)
         self.model = Model(module, self.input_shape)
 
-        if pretrained_backbone is not None and \
-                not isinstance(pretrained_backbone, str):
+        if isinstance(pretrained_backbone, str):
+            # e.g. "imagenet" for the mobilenet backbone: resolve from
+            # the local weight cache (reference fetches from keras)
+            resolved = resolve_pretrained(
+                pretrained_backbone, f"{backbone}_backbone")
+            if resolved is not None:
+                self.model.load_weights(resolved)
+        elif pretrained_backbone is not None:
             src = (pretrained_backbone.params
                    if isinstance(pretrained_backbone, Model)
                    else pretrained_backbone)
