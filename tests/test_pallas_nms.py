@@ -54,3 +54,44 @@ def test_pallas_nms_chain_semantics():
     np.testing.assert_array_equal(keep[0, :3], [1, 0, 1])
     # padding rows stay dead
     assert keep[0, 3:].sum() == 0
+
+
+def test_apply_nms_device_pallas_route_matches_xla():
+    """use_pallas=True must agree with the XLA scan path (interpret
+    mode on CPU)."""
+    import jax.numpy as jnp
+    from unittest import mock
+    from tf2_yolo_tpu.ops import apply_nms_device
+    from tf2_yolo_tpu.ops.pallas import nms_kernel
+
+    rng = np.random.RandomState(5)
+    rows = np.zeros((2, 128, 7), np.float32)
+    rows[:, :20] = rng.rand(2, 20, 7)
+    rows[:, :20, 2:4] = rows[:, :20, 2:4] * 0.3 + 0.2
+    rows[:, :20, 5] = rng.randint(0, 2, (2, 20))
+    valid = np.zeros((2, 128), bool)
+    valid[:, :20] = True
+
+    xr, xk = apply_nms_device(jnp.asarray(rows), jnp.asarray(valid),
+                              nms_mode=1, nms_threshold=0.45)
+    orig = nms_kernel.nms_pallas
+    with mock.patch.object(
+            nms_kernel, "nms_pallas",
+            lambda boxes, threshold, iou_mode=1:
+            orig(boxes, threshold=threshold, iou_mode=iou_mode,
+                 interpret=True)):
+        import tf2_yolo_tpu.ops.pallas as pallas_pkg
+        with mock.patch.object(
+                pallas_pkg, "nms_pallas",
+                lambda boxes, threshold, iou_mode=1:
+                orig(boxes, threshold=threshold, iou_mode=iou_mode,
+                     interpret=True)):
+            pr, pk = apply_nms_device(
+                jnp.asarray(rows), jnp.asarray(valid), nms_mode=1,
+                nms_threshold=0.45, use_pallas=True)
+
+    xs = np.asarray(xr)[np.asarray(xk)]
+    ps = np.asarray(pr)[np.asarray(pk)]
+    xs = xs[np.lexsort(xs.T[::-1])]
+    ps = ps[np.lexsort(ps.T[::-1])]
+    np.testing.assert_allclose(ps, xs, rtol=1e-5, atol=1e-6)

@@ -101,19 +101,45 @@ def soft_nms(rows, valid, nms_threshold=0.45, conf_threshold=0.5,
             r, v, nms_threshold, conf_threshold, sigma))(rows, valid)
 
 
+def _nms_via_pallas(rows, valid, nms_threshold, iou_mode):
+    """Greedy NMS through the VMEM-resident Pallas kernel
+    (ops/pallas/nms_kernel.py). Rows are conf-sorted first so the
+    output aligns with the XLA path's (rows_sorted, keep) contract."""
+    from .pallas import nms_pallas
+
+    joint = rows[..., 4] * rows[..., 6]
+    joint = jnp.where(valid, joint, -jnp.inf)
+    order = jnp.argsort(-joint, axis=-1)
+    rows_s = jnp.take_along_axis(rows, order[..., None], axis=1)
+    valid_s = jnp.take_along_axis(valid, order, axis=1)
+    boxes = jnp.concatenate(
+        [rows_s, valid_s[..., None].astype(rows_s.dtype)], axis=-1)
+    keep = nms_pallas(boxes, threshold=nms_threshold,
+                      iou_mode=iou_mode)
+    return rows_s, keep > 0.5
+
+
 def apply_nms_device(rows, valid, class_num=None, nms_mode=1,
                      nms_threshold=0.45, conf_threshold=0.5,
-                     nms_sigma=0.5):
+                     nms_sigma=0.5, use_pallas=False):
     """Dispatch matching the host ``utils.tools.apply_nms`` modes:
     0 none, 1 NMS, 2 Soft-NMS, 3 DIoU-NMS. ``class_num`` is implicit
-    (class ids ride in rows[..., 5])."""
+    (class ids ride in rows[..., 5]).
+
+    ``use_pallas=True`` routes greedy/DIoU NMS through the Pallas
+    kernel (TPU only; K should be a multiple of 128). Soft-NMS always
+    uses the XLA scan path."""
     if nms_mode == 0:
         return rows, valid
     if nms_mode == 1:
+        if use_pallas:
+            return _nms_via_pallas(rows, valid, nms_threshold, 1)
         return nms(rows, valid, nms_threshold, iou_mode=1)
     if nms_mode == 2:
         return soft_nms(rows, valid, nms_threshold, conf_threshold,
                         nms_sigma)
     if nms_mode == 3:
+        if use_pallas:
+            return _nms_via_pallas(rows, valid, nms_threshold, 2)
         return nms(rows, valid, nms_threshold, iou_mode=2)
     raise ValueError(f"Invalid nms_mode: {nms_mode}")
