@@ -88,3 +88,14 @@ class Yolo(YoloBase):
             binary_weight=binary_weight,
             loss_weight=loss_weight,
             ignore_thresh=ignore_thresh)
+
+
+# module-level parity with the reference's per-version subpackages
+import functools as _functools
+from .ops import metrics as _m
+
+wrap_yolo_loss = wrap_yolo_loss_v2
+wrap_obj_acc = _functools.partial(_m.wrap_obj_acc, version=2)
+wrap_mean_iou = _functools.partial(_m.wrap_mean_iou, version=2)
+wrap_class_acc = _functools.partial(_m.wrap_class_acc, version=2)
+wrap_recall = _functools.partial(_m.wrap_recall, version=2)

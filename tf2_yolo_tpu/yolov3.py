@@ -115,3 +115,14 @@ class Yolo(YoloBase):
                 focal_loss_gamma=focal_loss_gamma,
                 use_scale=use_scale))
         return losses
+
+
+# module-level parity with the reference's per-version subpackages
+import functools as _functools
+from .ops import metrics as _m
+
+wrap_yolo_loss = wrap_yolo_loss_v3
+wrap_obj_acc = _functools.partial(_m.wrap_obj_acc, version=3)
+wrap_mean_iou = _functools.partial(_m.wrap_mean_iou, version=3)
+wrap_class_acc = _functools.partial(_m.wrap_class_acc, version=3)
+wrap_recall = _functools.partial(_m.wrap_recall, version=3)

@@ -222,3 +222,14 @@ class Yolo(YoloBase):
                 label_smooth=label_smooth,
                 focal_loss_gamma=focal_loss_gamma))
         return losses
+
+
+# module-level parity with the reference's per-version subpackages
+import functools as _functools
+from .ops import metrics as _m
+
+wrap_yolo_loss = wrap_yolo_loss_v4
+wrap_obj_acc = _functools.partial(_m.wrap_obj_acc, version=4)
+wrap_mean_iou = _functools.partial(_m.wrap_mean_iou, version=4)
+wrap_class_acc = _functools.partial(_m.wrap_class_acc, version=4)
+wrap_recall = _functools.partial(_m.wrap_recall, version=4)
