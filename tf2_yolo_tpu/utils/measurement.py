@@ -49,6 +49,14 @@ def decode_batch_device(y_trues, y_preds, class_num, conf_threshold,
     an image that saturates the cap is truncated to its top-k by joint
     confidence — a warning is emitted when that happens.
 
+    When to use: the device path wins when predictions are already
+    device-resident (compose with Model.predict outputs before they
+    leave the chip) and ``max_boxes`` is modest (128-256): the NMS
+    suppression scan is O(max_boxes) sequential steps over a
+    (max_boxes, max_boxes) lattice, so very large caps make it
+    scan-bound and the numpy host path can be faster on small
+    workloads.
+
     Returns:
         (true_rows_list, pred_rows_list): per-image (N_i, 7) arrays.
     """
@@ -104,7 +112,8 @@ def create_score_mat(y_trues, *y_preds,
                      iou_threshold=0.5,
                      precision_mode=2,
                      version=3,
-                     device=False):
+                     device=False,
+                     device_max_boxes=256):
     """Precision/recall/F1/gts/dets table per class.
 
     precision modes (reference measurement.py:51-57):
@@ -120,7 +129,8 @@ def create_score_mat(y_trues, *y_preds,
     if device:
         dev_rows = decode_batch_device(
             y_trues, y_preds, class_num, conf_threshold, nms_mode,
-            nms_threshold, nms_sigma, version)
+            nms_threshold, nms_sigma, version,
+            max_boxes=device_max_boxes)
     pp_p = np.zeros((class_num, 2))        # [pred positives, positives]
     tp = np.zeros((class_num, 2))          # [tpp, tp]
     det_counts = np.zeros((class_num,), dtype="int")
@@ -187,7 +197,8 @@ class PRfunc:
                  precision_mode=2,
                  max_per_img=100,
                  version=3,
-                 device=False):
+                 device=False,
+                 device_max_boxes=256):
         class_num = len(class_names)
         self.class_num = class_num
         self.class_names = list(class_names)
@@ -195,7 +206,8 @@ class PRfunc:
         if device:
             dev_rows = decode_batch_device(
                 y_trues, y_preds, class_num, conf_threshold, nms_mode,
-                nms_threshold, nms_sigma, version)
+                nms_threshold, nms_sigma, version,
+                max_boxes=device_max_boxes)
 
         gts = [0] * class_num
         detections = [np.empty((0, 3), dtype="float32")
