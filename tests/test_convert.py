@@ -134,3 +134,28 @@ def test_merge_shape_mismatch_raises(model_and_h5):
     params, stats = convert_yolov4(h5w, CLASSES, ABOX)
     with pytest.raises(ValueError):
         merge_into_variables(variables, params, stats)
+
+
+def test_convert_to_cache_roundtrip(model_and_h5, tmp_path,
+                                    monkeypatch):
+    """convert_to_cache writes a file loadable via the facade's
+    named-weights resolution."""
+    import os
+    from tf2_yolo_tpu.convert import convert_to_cache
+    from tf2_yolo_tpu import yolov4
+
+    _, _, h5_path = model_and_h5
+    monkeypatch.setenv("TF2_YOLO_TPU_WEIGHTS", str(tmp_path))
+    anchors = np.stack([np.linspace(0.1, 0.9, 9),
+                        np.linspace(0.2, 0.8, 9)], 1)
+    out = convert_to_cache(h5_path, version=4, class_num=CLASSES,
+                           name="test_coco", input_shape=(64, 64, 3),
+                           anchors=anchors)
+    assert os.path.isfile(out)
+
+    yolo = yolov4.Yolo(input_shape=(64, 64, 3),
+                       class_names=["a", "b"])
+    yolo.create_model(pretrained_weights=out)
+    # anchors came from the h5 Anchor layers (random in the fixture)
+    got = np.asarray(yolo.anchors)
+    assert got.shape == (9, 2)

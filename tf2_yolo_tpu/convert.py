@@ -385,6 +385,71 @@ def convert_yolov1_positional(h5_path_or_weights, variables,
     return params, stats
 
 
+def convert_to_cache(h5_path, version, class_num, abox_num=3,
+                     name=None, input_shape=(128, 128, 3),
+                     anchors=None):
+    """Convert a reference h5 file and store it in the local weight
+    cache so the facades' named-weights resolution picks it up
+    (facade_base.resolve_pretrained).
+
+    Args:
+        h5_path: reference keras h5 weight file.
+        version: 1-4.
+        class_num: classes the h5 heads were built for.
+        abox_num: anchors per level (v2-4).
+        name: cache entry name (e.g. "ms_coco"); default the h5 stem.
+        input_shape: shape used to build the template model.
+        anchors: anchor priors for the template (defaults to flat 0.3).
+
+    Returns:
+        the cache file path usable as ``pretrained_weights``.
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from .facade_base import weights_cache_dir
+    from .models import YoloV1, YoloV2, YoloV3, YoloV4
+
+    levels = {1: 1, 2: 1, 3: 3, 4: 3}[version]
+    if anchors is None:
+        anchors = np.full((abox_num * levels, 2), 0.3, np.float32)
+    if version == 1:
+        model = YoloV1(bbox_num=abox_num, class_num=class_num)
+    elif version == 2:
+        model = YoloV2(anchors=anchors, class_num=class_num)
+    elif version == 3:
+        model = YoloV3(anchors=anchors, class_num=class_num)
+    else:
+        model = YoloV4(anchors=anchors, class_num=class_num)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, *input_shape), jnp.float32), train=False)
+
+    h5w = load_h5_weights(h5_path)
+    if version == 1:
+        parts = convert_yolov1_positional(h5w, variables, class_num,
+                                          abox_num)
+    elif version == 2:
+        parts = convert_yolov2_positional(h5w, variables, class_num,
+                                          abox_num)
+    elif version == 3:
+        parts = convert_yolov3(h5w, class_num, abox_num, strict=False)
+    else:
+        parts = convert_yolov4(h5w, class_num, abox_num, strict=False)
+    merged = merge_into_variables(variables, *parts)
+
+    stem = name or os.path.splitext(os.path.basename(h5_path))[0]
+    cache_dir = weights_cache_dir()
+    os.makedirs(cache_dir, exist_ok=True)
+    out = os.path.join(cache_dir, f"yolov{version}_{stem}.msgpack")
+    with open(out, "wb") as f:
+        f.write(serialization.to_bytes(merged))
+    return out
+
+
 def merge_into_variables(variables, params, batch_stats):
     """Merge converted partial trees into a model's variables dict,
     checking shape agreement."""
