@@ -59,6 +59,14 @@ def load_h5_weights(path):
 # tree plumbing
 # ---------------------------------------------------------------------
 
+def _iter_leaves(tree):
+    for v in tree.values():
+        if isinstance(v, dict):
+            yield from _iter_leaves(v)
+        else:
+            yield v
+
+
 def _set_in(tree, path, value):
     node = tree
     for key in path[:-1]:
@@ -385,7 +393,7 @@ def convert_yolov1_positional(h5_path_or_weights, variables,
     return params, stats
 
 
-def convert_to_cache(h5_path, version, class_num, abox_num=3,
+def convert_to_cache(h5_path, version, class_num, abox_num=None,
                      name=None, input_shape=(128, 128, 3),
                      anchors=None):
     """Convert a reference h5 file and store it in the local weight
@@ -396,15 +404,23 @@ def convert_to_cache(h5_path, version, class_num, abox_num=3,
         h5_path: reference keras h5 weight file.
         version: 1-4.
         class_num: classes the h5 heads were built for.
-        abox_num: anchors per level (v2-4).
+        abox_num: boxes per cell (v1) / anchors per level (v2-4).
+            Defaults follow the reference: v1=2, v2=5, v3=v4=3.
         name: cache entry name (e.g. "ms_coco"); default the h5 stem.
         input_shape: shape used to build the template model.
         anchors: anchor priors for the template (defaults to flat 0.3).
 
     Returns:
         the cache file path usable as ``pretrained_weights``.
+
+    Raises:
+        ValueError if NOTHING in the h5 matched the expected layer
+        names (misnamed/foreign file) — otherwise the cache would be
+        random weights posing as pretrained. Body-only files are fine
+        (heads stay randomly initialized; a warning reports counts).
     """
     import os
+    import warnings
 
     import jax
     import jax.numpy as jnp
@@ -413,6 +429,8 @@ def convert_to_cache(h5_path, version, class_num, abox_num=3,
     from .facade_base import weights_cache_dir
     from .models import YoloV1, YoloV2, YoloV3, YoloV4
 
+    if abox_num is None:
+        abox_num = {1: 2, 2: 5, 3: 3, 4: 3}[version]
     levels = {1: 1, 2: 1, 3: 3, 4: 3}[version]
     if anchors is None:
         anchors = np.full((abox_num * levels, 2), 0.3, np.float32)
@@ -439,6 +457,21 @@ def convert_to_cache(h5_path, version, class_num, abox_num=3,
         parts = convert_yolov3(h5w, class_num, abox_num, strict=False)
     else:
         parts = convert_yolov4(h5w, class_num, abox_num, strict=False)
+
+    converted = sum(
+        1 for _ in _iter_leaves(parts[0])) + sum(
+        1 for _ in _iter_leaves(parts[1]))
+    if converted == 0:
+        raise ValueError(
+            f"no layer in {h5_path} matched the expected reference "
+            f"yolov{version} layer names — refusing to write a cache "
+            "file of random weights")
+    has_heads = any(k.startswith("head") for k in parts[0])
+    if not has_heads and version >= 3:
+        warnings.warn(
+            f"{h5_path}: body-only file ({converted} arrays "
+            "converted); head convs stay randomly initialized and v4 "
+            "anchors keep the template values")
     merged = merge_into_variables(variables, *parts)
 
     stem = name or os.path.splitext(os.path.basename(h5_path))[0]

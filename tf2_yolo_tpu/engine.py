@@ -80,6 +80,13 @@ class Model:
             self._state = self._state._replace(params=new_params)
         self._predict_jit = None
 
+    def set_variables(self, variables):
+        """Replace the full variables tree (params + batch_stats),
+        resetting optimizer state and cached jits."""
+        self.variables = variables
+        self._state = None
+        self._predict_jit = None
+
     @property
     def batch_stats(self):
         if self._state is not None:

@@ -56,6 +56,52 @@ def resolve_pretrained(name, kind):
     return None
 
 
+def graft_backbone_file(model, path):
+    """Graft ONLY the backbone subtree from a saved weight file into
+    ``model`` (shape-checked). Accepts files holding a full model, a
+    {params, batch_stats} tree, or a bare backbone subtree."""
+    from flax import serialization
+
+    from .convert import merge_into_variables
+
+    with open(path, "rb") as f:
+        restored = serialization.msgpack_restore(f.read())
+
+    params = restored.get("params", restored)
+    src = params.get("backbone", params)
+    stats = restored.get("batch_stats", {})
+    sstats = stats.get("backbone", stats)
+
+    merged = merge_into_variables(
+        model.variables, {"backbone": src},
+        {"backbone": sstats} if sstats else {})
+    model.set_variables(merged)
+
+
+def make_version_aliases(version):
+    """Per-version module aliases mirroring the reference's
+    yolovN.losses / yolovN.metrics import surface."""
+    import functools
+
+    from .ops import losses as _losses
+    from .ops import metrics as _metrics
+
+    loss = {1: _losses.wrap_yolo_loss_v1, 2: _losses.wrap_yolo_loss_v2,
+            3: _losses.wrap_yolo_loss_v3,
+            4: _losses.wrap_yolo_loss_v4}[version]
+    return {
+        "wrap_yolo_loss": loss,
+        "wrap_obj_acc": functools.partial(
+            _metrics.wrap_obj_acc, version=version),
+        "wrap_mean_iou": functools.partial(
+            _metrics.wrap_mean_iou, version=version),
+        "wrap_class_acc": functools.partial(
+            _metrics.wrap_class_acc, version=version),
+        "wrap_recall": functools.partial(
+            _metrics.wrap_recall, version=version),
+    }
+
+
 class _LabelPyramidSequence:
     """Wrap a YoloDataSequence to emit the FPN label pyramid lazily,
     coarsest level first (reference yolov3/__init__.py:41-53)."""

@@ -101,21 +101,24 @@ def soft_nms(rows, valid, nms_threshold=0.45, conf_threshold=0.5,
             r, v, nms_threshold, conf_threshold, sigma))(rows, valid)
 
 
+@partial(jax.jit, static_argnames=("nms_threshold", "iou_mode"))
 def _nms_via_pallas(rows, valid, nms_threshold, iou_mode):
     """Greedy NMS through the VMEM-resident Pallas kernel
     (ops/pallas/nms_kernel.py). Rows are conf-sorted first so the
-    output aligns with the XLA path's (rows_sorted, keep) contract."""
+    output aligns with the XLA path's (rows_sorted, keep) contract;
+    K is padded up to a lane-tile multiple of 128 (the kernel's
+    contract) and the keep mask sliced back."""
     from .pallas import nms_pallas
 
-    joint = rows[..., 4] * rows[..., 6]
-    joint = jnp.where(valid, joint, -jnp.inf)
-    order = jnp.argsort(-joint, axis=-1)
-    rows_s = jnp.take_along_axis(rows, order[..., None], axis=1)
-    valid_s = jnp.take_along_axis(valid, order, axis=1)
+    rows_s, valid_s = jax.vmap(_sorted_by_conf)(rows, valid)
+    k = rows_s.shape[1]
+    k_pad = max(128, -(-k // 128) * 128)
     boxes = jnp.concatenate(
         [rows_s, valid_s[..., None].astype(rows_s.dtype)], axis=-1)
+    if k_pad != k:
+        boxes = jnp.pad(boxes, ((0, 0), (0, k_pad - k), (0, 0)))
     keep = nms_pallas(boxes, threshold=nms_threshold,
-                      iou_mode=iou_mode)
+                      iou_mode=iou_mode)[:, :k]
     return rows_s, keep > 0.5
 
 

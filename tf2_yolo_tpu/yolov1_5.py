@@ -85,12 +85,8 @@ class Yolo(YoloBase):
 
 
 # module-level parity with the reference's per-version subpackages
-# (yolov1_5.losses.wrap_yolo_loss, yolov1_5.metrics.wrap_*)
-import functools as _functools
-from .ops import metrics as _m
+# (yolovN.losses.wrap_yolo_loss, yolovN.metrics.wrap_*)
+from .facade_base import make_version_aliases as _mva
 
-wrap_yolo_loss = wrap_yolo_loss_v1
-wrap_obj_acc = _functools.partial(_m.wrap_obj_acc, version=1)
-wrap_mean_iou = _functools.partial(_m.wrap_mean_iou, version=1)
-wrap_class_acc = _functools.partial(_m.wrap_class_acc, version=1)
-wrap_recall = _functools.partial(_m.wrap_recall, version=1)
+globals().update(_mva(1))
+del _mva

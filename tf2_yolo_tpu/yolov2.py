@@ -50,11 +50,14 @@ class Yolo(YoloBase):
 
         if isinstance(pretrained_backbone, str):
             # e.g. "imagenet" for the mobilenet backbone: resolve from
-            # the local weight cache (reference fetches from keras)
+            # the local weight cache and graft ONLY the backbone
+            # subtree (the file may be backbone-only or a full model
+            # trained with a different head)
             resolved = resolve_pretrained(
                 pretrained_backbone, f"{backbone}_backbone")
             if resolved is not None:
-                self.model.load_weights(resolved)
+                from .facade_base import graft_backbone_file
+                graft_backbone_file(self.model, resolved)
         elif pretrained_backbone is not None:
             src = (pretrained_backbone.params
                    if isinstance(pretrained_backbone, Model)
@@ -91,11 +94,8 @@ class Yolo(YoloBase):
 
 
 # module-level parity with the reference's per-version subpackages
-import functools as _functools
-from .ops import metrics as _m
+# (yolovN.losses.wrap_yolo_loss, yolovN.metrics.wrap_*)
+from .facade_base import make_version_aliases as _mva
 
-wrap_yolo_loss = wrap_yolo_loss_v2
-wrap_obj_acc = _functools.partial(_m.wrap_obj_acc, version=2)
-wrap_mean_iou = _functools.partial(_m.wrap_mean_iou, version=2)
-wrap_class_acc = _functools.partial(_m.wrap_class_acc, version=2)
-wrap_recall = _functools.partial(_m.wrap_recall, version=2)
+globals().update(_mva(2))
+del _mva

@@ -225,11 +225,8 @@ class Yolo(YoloBase):
 
 
 # module-level parity with the reference's per-version subpackages
-import functools as _functools
-from .ops import metrics as _m
+# (yolovN.losses.wrap_yolo_loss, yolovN.metrics.wrap_*)
+from .facade_base import make_version_aliases as _mva
 
-wrap_yolo_loss = wrap_yolo_loss_v4
-wrap_obj_acc = _functools.partial(_m.wrap_obj_acc, version=4)
-wrap_mean_iou = _functools.partial(_m.wrap_mean_iou, version=4)
-wrap_class_acc = _functools.partial(_m.wrap_class_acc, version=4)
-wrap_recall = _functools.partial(_m.wrap_recall, version=4)
+globals().update(_mva(4))
+del _mva
