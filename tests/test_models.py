@@ -135,3 +135,17 @@ def test_yolov4_remat_matches_no_remat():
     for a, b in zip(o0, o1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6)
+
+
+def test_spp_cascade_matches_direct_pools():
+    """Cascaded 5x5 pools must equal direct 13/9/5 SAME maxpools,
+    including border clipping."""
+    from flax import linen as nn
+    from tf2_yolo_tpu.models import SPP
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 13, 13, 8).astype(np.float32))
+    got = np.asarray(SPP().apply({}, x))
+    direct = [np.asarray(nn.max_pool(x, (p, p), (1, 1), "SAME"))
+              for p in (13, 9, 5)]
+    want = np.concatenate([*direct, np.asarray(x)], axis=-1)
+    np.testing.assert_array_equal(got, want)

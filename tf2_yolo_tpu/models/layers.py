@@ -135,11 +135,24 @@ def space_to_depth(x, block=2):
 
 class SPP(nn.Module):
     """Spatial pyramid pooling: stride-1 SAME maxpools (13/9/5) concat
-    with identity (reference yolov4/models/backbone.py:176-185)."""
+    with identity (reference yolov4/models/backbone.py:176-185).
+
+    Computed as a CASCADE of 5x5 stride-1 pools: max over a 5x5 window
+    of 5x5-maxes covers a 9x9 window (5+5-1), and a third pass covers
+    13x13 — bit-identical to direct 13/9/5 pooling (max is idempotent
+    and associative over window composition) but with far less window
+    work and a much cheaper select_and_scatter backward (profiling
+    showed the direct 13x13 pool + backward as a top op-time block).
+    """
     pool_sizes: Sequence[int] = (13, 9, 5)
 
     @nn.compact
     def __call__(self, x):
+        if tuple(self.pool_sizes) == (13, 9, 5):
+            p5 = nn.max_pool(x, (5, 5), (1, 1), "SAME")
+            p9 = nn.max_pool(p5, (5, 5), (1, 1), "SAME")
+            p13 = nn.max_pool(p9, (5, 5), (1, 1), "SAME")
+            return jnp.concatenate([p13, p9, p5, x], axis=-1)
         pools = [nn.max_pool(x, (p, p), (1, 1), "SAME")
                  for p in self.pool_sizes]
         return jnp.concatenate([*pools, x], axis=-1)
