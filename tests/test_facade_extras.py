@@ -104,3 +104,22 @@ def test_fit_remainder_batch_mesh_switch(tmp_path):
     # empty-input predict returns an empty array, not a crash
     empty = yolo.model.predict(np.zeros((0, 96, 96, 3), np.float32))
     assert empty.shape[0] == 0
+
+
+def test_invalid_backbone_rejected_at_facade():
+    """All anchored facades validate backbone names before flax sees
+    them (reference raises per-version ValueError, e.g.
+    yolov3/__init__.py:168)."""
+    import pytest
+    from tf2_yolo_tpu import yolov2, yolov3, yolov4
+
+    anchors9 = [[0.1 * i, 0.1 * i] for i in range(1, 10)]
+    y2 = yolov2.Yolo(input_shape=(64, 64, 3), class_names=["a"])
+    with pytest.raises(ValueError, match="Invalid backbone"):
+        y2.create_model(backbone="darkent")  # typo
+    y3 = yolov3.Yolo(input_shape=(96, 96, 3), class_names=["a"])
+    with pytest.raises(ValueError, match="Invalid backbone"):
+        y3.create_model(anchors=anchors9, backbone="resnet34")
+    y4 = yolov4.Yolo(input_shape=(96, 96, 3), class_names=["a"])
+    with pytest.raises(ValueError, match="Invalid backbone"):
+        y4.create_model(anchors=anchors9, backbone="cspdarknet")

@@ -112,36 +112,68 @@ def test_best_data_axis():
     assert best_data_axis(12, 8) == 6
 
 
+class TinyDetectorNoBN(nn.Module):
+    """BN-free variant: plain convs + anchor head. Needed for exact
+    gradient-accumulation equivalence — BatchNorm train-mode statistics
+    differ between half-batches and the full batch, so only a BN-free
+    model has per-sample-decomposable gradients."""
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = nn.Conv(16, (3, 3), (2, 2))(x)
+        x = nn.leaky_relu(x, 0.1)
+        x = nn.Conv(32, (3, 3), (2, 2))(x)
+        x = nn.leaky_relu(x, 0.1)
+        x = nn.avg_pool(x, (8, 8), (8, 8))
+        return AnchorHead(ANCHORS, 2, prob_act="softmax")(x)
+
+
 def test_gradient_accumulation_matches_big_batch():
-    """MultiSteps(k=2) on half-batches == one step on the full batch
-    (for SGD, where accumulation averages gradients)."""
-    import optax
-    state, step, x, y = _setup(batch=8)
-
-    s_full = jax.jit(step)(state, jnp.asarray(x), (jnp.asarray(y),))
-    full_params = s_full[0].params
-
+    """MultiSteps(k=2) on two half-batches == one step on the full
+    batch. Exact for SGD because the loss is sum(mean_over_batch(...)):
+    loss(full) = (loss(h1) + loss(h2)) / 2, so the full-batch gradient
+    is the average of the half-batch gradients — which is exactly what
+    MultiSteps accumulates before the single inner update."""
     from tf2_yolo_tpu.parallel import make_optimizer, create_train_state, \
         make_train_step
     from tf2_yolo_tpu.ops import wrap_yolo_loss_v2
-    tx2 = make_optimizer("sgd", 1e-2, accumulate_steps=2)
-    model = TinyDetector()
+
+    model = TinyDetectorNoBN()
+    rng = np.random.RandomState(0)
+    x = rng.rand(8, 64, 64, 3).astype(np.float32)
+    y = np.zeros((8, 2, 2, 7), np.float32)
+    for i in range(8):
+        y[i, rng.randint(2), rng.randint(2)] = \
+            [0.5, 0.5, 0.3, 0.3, 1, 1, 0]
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 64, 64, 3)), train=False)
     loss_fn = wrap_yolo_loss_v2((2, 2), 2, 2, ANCHORS)
+
+    tx1 = make_optimizer("sgd", 1e-2)
+    st1 = create_train_state(variables, tx1)
+    step1 = jax.jit(make_train_step(model.apply, tx1, [loss_fn]))
+    st1, _ = step1(st1, jnp.asarray(x), (jnp.asarray(y),))
+
+    tx2 = make_optimizer("sgd", 1e-2, accumulate_steps=2)
     st2 = create_train_state(variables, tx2)
     step2 = jax.jit(make_train_step(model.apply, tx2, [loss_fn]))
     st2, _ = step2(st2, jnp.asarray(x[:4]), (jnp.asarray(y[:4]),))
+    mid_params = st2.params
+    # first microstep only accumulates — params must not move yet
+    for a, b in zip(jax.tree_util.tree_leaves(variables["params"]),
+                    jax.tree_util.tree_leaves(mid_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     st2, _ = step2(st2, jnp.asarray(x[4:]), (jnp.asarray(y[4:]),))
 
-    # loss reduction is mean-over-batch then sum: two half batches
-    # average to the full-batch gradient for the xy/wh/conf sums? Not
-    # exactly (sum-of-means != mean of concatenated), so assert the
-    # update direction is close rather than identical.
-    for a, b in zip(jax.tree_util.tree_leaves(full_params),
-                    jax.tree_util.tree_leaves(st2.params)):
-        a, b = np.asarray(a), np.asarray(b)
-        assert a.shape == b.shape
-        # parameters moved (optimizer applied after 2 microsteps)
-    # the accumulated step count advanced twice
+    # after the second microstep: identical to the full-batch update
+    # (up to f32 reduction-order noise: mean over 8 vs two means of 4)
+    moved = False
+    for a, b, init in zip(jax.tree_util.tree_leaves(st1.params),
+                          jax.tree_util.tree_leaves(st2.params),
+                          jax.tree_util.tree_leaves(variables["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+        moved = moved or not np.array_equal(np.asarray(a),
+                                            np.asarray(init))
+    assert moved, "optimizer never updated any parameter"
     assert int(st2.step) == 2

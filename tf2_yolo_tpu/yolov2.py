@@ -39,10 +39,14 @@ class Yolo(YoloBase):
 
         Args:
             anchors: (B, 2) normalized prior anchors (width, height).
-            backbone: "darknet" or "unet" ("mobilenet" pending).
+            backbone: "darknet", "unet", or "mobilenet".
             pretrained_weights: saved weight file path.
             pretrained_backbone: Model / params dict to graft.
         """
+        valid = ("darknet", "unet", "mobilenet")
+        if backbone not in valid:
+            raise ValueError(f"Invalid backbone: {backbone}")
+
         import jax.numpy as jnp
         module = YoloV2(anchors=anchors, class_num=self.class_num,
                         backbone=backbone, dtype=dtype or jnp.float32)
