@@ -1,0 +1,99 @@
+"""Benchmark: YOLOv4@416^2 end-to-end inference (images/sec/chip).
+
+One jitted XLA program per variant: forward (eval-mode BN, bf16 convs
+on accelerators) + multi-level device decode (top-k) + greedy NMS —
+the full deployment path the reference runs as model.predict followed
+by host NumPy decode/NMS (reference utils/tools.py:370-733). Both NMS
+backends are measured: the XLA lax.scan path and the VMEM-resident
+Pallas kernel; the printed value is the faster one, with both rates
+recorded in the JSON line.
+
+Timing protocol per CLAUDE.md: device-resident inputs, async dispatch,
+completion forced by a host fetch of the last result.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+BATCH = int(os.environ.get("BENCH_BATCH", "32"))
+SIZE = int(os.environ.get("BENCH_SIZE", "416"))
+CLASSES = int(os.environ.get("BENCH_CLASSES", "3"))   # BCCD config
+MAX_BOXES = int(os.environ.get("BENCH_MAX_BOXES", "128"))
+WARMUP = 3
+STEPS = int(os.environ.get("BENCH_STEPS", "20"))
+# round-1 unreproducible row this script replaces (BASELINE.md): the
+# reference itself publishes no inference numbers, so vs_baseline uses
+# the same assumed tf.keras-GPU order as bench.py, scaled to inference
+# (~3x its training rate).
+BASELINE_IMG_PER_SEC = 75.0
+
+
+def main():
+    import jax
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+    import jax.numpy as jnp
+
+    from tf2_yolo_tpu.models import YoloV4
+    from tf2_yolo_tpu.ops.decode import decode_multi_level
+    from tf2_yolo_tpu.ops.nms import apply_nms_device
+
+    platform = jax.devices()[0].platform
+    compute_dtype = jnp.bfloat16 if platform != "cpu" else jnp.float32
+
+    anchors = np.stack([np.linspace(0.05, 0.75, 9),
+                        np.linspace(0.07, 0.65, 9)], axis=1)
+    module = YoloV4(anchors=anchors, class_num=CLASSES,
+                    dtype=compute_dtype)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(BATCH, SIZE, SIZE, 3).astype(np.float32))
+    variables = module.init(jax.random.PRNGKey(0), x[:1], train=False)
+    variables = jax.device_put(variables)
+
+    def make_infer(use_pallas):
+        def infer(variables, x):
+            outs = module.apply(variables, x, train=False)
+            rows, valid = decode_multi_level(
+                outs, class_num=CLASSES, threshold=0.5,
+                max_boxes=MAX_BOXES, version=4)
+            rows, keep = apply_nms_device(
+                rows, valid, nms_mode=1, nms_threshold=0.45,
+                use_pallas=use_pallas)
+            return rows, keep
+        return jax.jit(infer)
+
+    def rate(fn):
+        rows, keep = fn(variables, x)
+        for _ in range(WARMUP):
+            rows, keep = fn(variables, x)
+        np.asarray(keep)                      # force completion
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            rows, keep = fn(variables, x)
+        np.asarray(keep)                      # host fetch = fence
+        return BATCH * STEPS / (time.perf_counter() - t0)
+
+    variants = {"xla": rate(make_infer(False))}
+    if platform == "tpu":
+        variants["pallas"] = rate(make_infer(True))
+
+    best = max(variants, key=variants.get)
+    img_per_sec = variants[best]
+    print(json.dumps({
+        "metric": f"yolov4_infer_images_per_sec_{SIZE}px_b{BATCH}_"
+                  f"{platform}",
+        "value": round(img_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
+        "nms_backend": best,
+        **{f"{k}_img_per_sec": round(v, 2)
+           for k, v in variants.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()

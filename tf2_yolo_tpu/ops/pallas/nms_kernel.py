@@ -8,8 +8,12 @@ fori_loop walks the confidence order updating an alive-mask in place —
 zero HBM traffic between steps.
 
 Mosaic notes:
-  - dynamic_slice is not lowerable, so the loop selects "row i" of the
-    overlap matrix with a one-hot reduction instead of indexing;
+  - the overlap matrix is staged through a VMEM scratch ref so the
+    suppression loop can dynamic-slice "row i" on the sublane axis
+    (O(K) per step, O(K^2) total — a value-level one-hot select would
+    cost O(K^2) per step);
+  - the current box's alive flag is read with a lane one-hot reduction
+    (dynamic lane indexing is not lowerable), which is O(K) per step;
   - the keep-mask output is written as an (8, K) tile (sublane-padded)
     because a (1, K) block violates the (8, 128) f32 tiling rule; the
     wrapper returns row 0.
@@ -30,7 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 EPSILON = 1e-07
 
 
-def _nms_kernel(boxes_ref, keep_ref, *, threshold, iou_mode):
+def _nms_kernel(boxes_ref, keep_ref, overlap_ref, *, threshold,
+                iou_mode):
     boxes = boxes_ref[0]                        # K, 8
     k = boxes.shape[0]
 
@@ -67,23 +72,24 @@ def _nms_kernel(boxes_ref, keep_ref, *, threshold, iou_mode):
     later = (col_ids > row_ids).astype(jnp.float32)
     # suppression candidates: same class, overlapping, valid, strictly
     # later in confidence order (upper triangle)
-    overlap = ((iou >= threshold).astype(jnp.float32)
-               * same_class * later * valid.T)
+    # rows of invalid boxes can never suppress: fold valid into rows
+    # here (valid, K,1) and candidates' validity into the final mask
+    overlap_ref[...] = ((iou >= threshold).astype(jnp.float32)
+                        * same_class * later * valid)
 
-    ids_col = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)  # K,1
-    valid_v = valid[:, 0]                       # K,
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+    valid_row = valid[:, 0][None, :]            # 1,K
 
     def body(i, alive):
-        onehot = (ids_col == i).astype(jnp.float32)           # K,1
-        # alive/valid flags of box i via masked reduction
-        keep_i = jnp.sum(alive[0] * onehot[:, 0] * valid_v)
-        row_i = jnp.sum(overlap * onehot, axis=0)             # K,
-        return alive * (1.0 - row_i * keep_i)[None, :]
+        # alive flag of box i: lane one-hot reduction (O(K))
+        keep_i = jnp.sum(alive * (lane == i).astype(jnp.float32))
+        row_i = overlap_ref[pl.ds(i, 1), :]     # 1,K dynamic sublane
+        return alive * (1.0 - row_i * keep_i)
 
     alive = jax.lax.fori_loop(
         0, k, body, jnp.ones((1, k), jnp.float32))
-    keep = alive[0] * valid_v                                  # K,
-    keep_ref[0] = jnp.broadcast_to(keep[None, :], (8, k))
+    keep = alive * valid_row                    # 1,K
+    keep_ref[0] = jnp.broadcast_to(keep, (8, k))
 
 
 @functools.partial(
@@ -113,6 +119,7 @@ def nms_pallas(boxes, threshold=0.45, iou_mode=1, interpret=False):
         out_specs=pl.BlockSpec((1, 8, k), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, 8, k), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((k, k), jnp.float32)],
         interpret=interpret,
     )(boxes)
     return out[:, 0, :]
