@@ -22,8 +22,17 @@ from flax import linen as nn
 
 def mish(x):
     """Mish activation x * tanh(softplus(x))
-    (reference yolov4/models/backbone.py:22-37)."""
-    return x * jnp.tanh(nn.softplus(x))
+    (reference yolov4/models/backbone.py:22-37).
+
+    Computed as ``x * (1 - 2 / ((1 + e^x)^2 + 1))`` — algebraically
+    identical (tanh(log(u)) = (u^2-1)/(u^2+1) with u = 1+e^x) but with
+    ONE transcendental instead of three (exp+log1p+tanh), which matters
+    on the VPU where mish runs over every CSP activation tensor. The
+    input to exp is clamped at 20: beyond that the formula is exactly
+    x in f32/bf16 (correction < 1e-17) and the clamp keeps (1+e^x)^2
+    finite, avoiding inf*0 NaNs in the backward pass."""
+    u = jnp.exp(jnp.minimum(x, 20.0))
+    return x * (1.0 - 2.0 / ((1.0 + u) * (1.0 + u) + 1.0))
 
 
 _ACTS = {
