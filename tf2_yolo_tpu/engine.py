@@ -283,16 +283,36 @@ class Model:
 
     # ------------------------------------------------------------------
     def evaluate(self, x, y, batch_size=20, verbose=1):
+        """Eval-mode loss/metrics, batch sharded over the data mesh
+        exactly like fit() (state replicated, inputs split on the
+        'data' axis) so eval-side numerics match multi-chip training."""
         self._ensure_state()
         x = np.asarray(x)
+        meshes = {}
+        state_mesh = [None]
+
+        def shard_for(n_rows):
+            d = best_data_axis(n_rows)
+            if d not in meshes:
+                mesh = make_mesh(d)
+                meshes[d] = (mesh, batch_sharding(mesh))
+            return meshes[d]
+
         logs_sum, steps = {}, 0
         for xb, yb in self._batches(x, y, batch_size, False,
                                     np.random.RandomState(0)):
+            xb = jnp.asarray(xb, jnp.float32)
             yb_t = tuple(jnp.asarray(v, jnp.float32) for v in yb) \
                 if isinstance(yb, (list, tuple)) \
                 else (jnp.asarray(yb, jnp.float32),)
-            logs = self._eval_step(self._state,
-                                   jnp.asarray(xb, jnp.float32), yb_t)
+            mesh, shard = shard_for(xb.shape[0])
+            if state_mesh[0] is not mesh:
+                self._state = jax.device_put(self._state,
+                                             replicated(mesh))
+                state_mesh[0] = mesh
+            xb = jax.device_put(xb, shard)
+            yb_t = tuple(jax.device_put(v, shard) for v in yb_t)
+            logs = self._eval_step(self._state, xb, yb_t)
             steps += 1
             for k, v in logs.items():
                 logs_sum[k] = logs_sum.get(k, 0.0) + float(v)
