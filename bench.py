@@ -22,6 +22,11 @@ SIZE = int(os.environ.get("BENCH_SIZE", "416"))
 CLASSES = int(os.environ.get("BENCH_CLASSES", "3"))   # BCCD config
 WARMUP = 3
 STEPS = int(os.environ.get("BENCH_STEPS", "10"))
+# BENCH_ACCUM=k > 1: gradient accumulation (optax.MultiSteps) — each
+# step processes BATCH images, the optimizer applies every k steps, so
+# the effective batch is BATCH*k (the large-batch path that fits HBM;
+# direct b256 OOMs even with per-stage remat: 16.5G needed vs 15.75G).
+ACCUM = int(os.environ.get("BENCH_ACCUM", "1"))
 
 
 def main():
@@ -66,7 +71,7 @@ def main():
         ys.append(jnp.asarray(y))
     ys = tuple(ys)
 
-    tx = make_optimizer("adam", 1e-3)
+    tx = make_optimizer("adam", 1e-3, accumulate_steps=ACCUM)
     state = create_train_state(variables, tx)
     step = jax.jit(make_train_step(module.apply, tx, loss_fns),
                    donate_argnums=0)
@@ -82,8 +87,10 @@ def main():
     dt = time.perf_counter() - t0
 
     img_per_sec = BATCH * STEPS / dt
+    batch_tag = (f"b{BATCH}" if ACCUM == 1
+                 else f"b{BATCH}x{ACCUM}accum")
     print(json.dumps({
-        "metric": f"yolov4_train_images_per_sec_{SIZE}px_b{BATCH}_"
+        "metric": f"yolov4_train_images_per_sec_{SIZE}px_{batch_tag}_"
                   f"{platform}",
         "value": round(img_per_sec, 2),
         "unit": "images/sec/chip",
