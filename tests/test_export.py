@@ -1,0 +1,213 @@
+"""BN folding + AOT serving-export tests.
+
+The deployment counterpart of the reference's weights-file story
+(reference yolov4/__init__.py:269-274): fold BatchNorm statistics into
+conv kernels, AOT-lower the full predict+decode+NMS program at fixed
+shapes via jax.export, and reload it without any model-building code.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from flax import linen as nn
+
+from tf2_yolo_tpu.export import (fold_batch_norm, make_serving_fn,
+                                 export_serving, save_serving,
+                                 load_serving)
+
+
+def _randomize(variables, seed=0):
+    """Make folding non-trivial: random BN statistics and affine params
+    (init values are mean=0/var=1/scale=1/bias=0, which fold to a
+    no-op)."""
+    rng = np.random.RandomState(seed)
+
+    def rand_stats(leaf_path, x):
+        name = leaf_path[-1].key
+        if name == "mean":
+            return jnp.asarray(rng.normal(0, 0.2, x.shape), x.dtype)
+        if name == "var":
+            return jnp.asarray(rng.uniform(0.7, 1.5, x.shape), x.dtype)
+        return x
+
+    def rand_params(leaf_path, x):
+        name = leaf_path[-1].key
+        if name == "scale":
+            return jnp.asarray(rng.uniform(0.8, 1.2, x.shape), x.dtype)
+        if name == "bias":
+            return jnp.asarray(rng.normal(0, 0.1, x.shape), x.dtype)
+        return x
+
+    return {
+        "params": jax.tree_util.tree_map_with_path(
+            rand_params, variables["params"]),
+        "batch_stats": jax.tree_util.tree_map_with_path(
+            rand_stats, variables.get("batch_stats", {})),
+    }
+
+
+def _fold_parity(module, shape, seed=0, rtol=2e-5, atol=2e-5):
+    x = jnp.asarray(np.random.RandomState(seed).rand(*shape), jnp.float32)
+    variables = module.init(jax.random.PRNGKey(seed), x, train=False)
+    variables = _randomize(variables, seed)
+    folded = fold_batch_norm(variables)
+
+    ref = module.apply(variables, x, train=False)
+    out = module.apply(folded, x, train=False)
+    ref = ref if isinstance(ref, (list, tuple)) else [ref]
+    out = out if isinstance(out, (list, tuple)) else [out]
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=rtol, atol=atol)
+    return variables, folded
+
+
+def test_fold_conv_bn_exact_semantics():
+    # a single ConvBN: folded kernel must equal kernel * gamma/sqrt(var+eps)
+    from tf2_yolo_tpu.models.layers import ConvBN
+
+    module = ConvBN(features=4, kernel=3)
+    x = jnp.ones((1, 8, 8, 3))
+    variables = _randomize(module.init(jax.random.PRNGKey(0), x), 1)
+    folded = fold_batch_norm(variables)
+
+    eps = 1e-3
+    scale = (variables["params"]["bn"]["scale"]
+             / np.sqrt(variables["batch_stats"]["bn"]["var"] + eps))
+    np.testing.assert_allclose(
+        np.asarray(folded["params"]["conv"]["kernel"]),
+        np.asarray(variables["params"]["conv"]["kernel"]) * scale,
+        rtol=1e-6)
+    # the rewritten BN is an exact pass-through normalizer
+    np.testing.assert_allclose(
+        np.asarray(folded["batch_stats"]["bn"]["var"]), 1.0 - eps)
+    np.testing.assert_allclose(
+        np.asarray(folded["params"]["bn"]["scale"]), 1.0)
+    _fold_parity(module, (2, 8, 8, 3))
+
+
+def test_fold_conv_act_bn_affine_only():
+    # ConvActBN (v2 UNet block): activation between conv and bn, the
+    # conv kernel must NOT change — only the BN becomes a plain affine
+    from tf2_yolo_tpu.models.layers import ConvActBN
+
+    module = ConvActBN(features=4)
+    x = jnp.ones((1, 8, 8, 3))
+    variables = _randomize(module.init(jax.random.PRNGKey(0), x), 2)
+    folded = fold_batch_norm(variables)
+    np.testing.assert_array_equal(
+        np.asarray(folded["params"]["conv"]["kernel"]),
+        np.asarray(variables["params"]["conv"]["kernel"]))
+    _fold_parity(module, (2, 8, 8, 3))
+
+
+def test_fold_resnet_v1_and_v2():
+    # covers bnN/convN, short_bn/short_conv, stem_bn, pre/post_bn and
+    # the ResNet epsilon (1.001e-5)
+    from tf2_yolo_tpu.models.resnet import ResNet
+
+    _fold_parity(ResNet(depth=50, preact=False), (1, 64, 64, 3), seed=3)
+    _fold_parity(ResNet(depth=50, preact=True), (1, 64, 64, 3), seed=4)
+
+
+def test_fold_mobilenet():
+    from tf2_yolo_tpu.models.mobilenet import MobileNetV2
+
+    _fold_parity(MobileNetV2(), (1, 64, 64, 3), seed=5)
+
+
+def test_fold_detectors():
+    # f32 reassociation drift amplifies through ~100 conv layers (and
+    # the v2/v4 heads exponentiate the wh channels), so the end-to-end
+    # detector tolerance is looser than the single-block exact tests
+    from tf2_yolo_tpu.models import YoloV2, YoloV4
+
+    anchors = np.stack([np.linspace(0.1, 0.9, 9),
+                        np.linspace(0.2, 0.8, 9)], 1)
+    _fold_parity(YoloV4(anchors=anchors, class_num=2), (1, 96, 96, 3),
+                 seed=6, rtol=2e-3, atol=1e-4)
+    _fold_parity(YoloV2(anchors=anchors[:5], class_num=2,
+                        backbone="unet"), (1, 64, 64, 3), seed=7,
+                 rtol=2e-3, atol=1e-4)
+
+
+class _TinyDet(nn.Module):
+    """Minimal single-level v2-layout detector for export round-trips."""
+    bbox_num: int = 2
+    class_num: int = 3
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from tf2_yolo_tpu.models.layers import ConvBN
+
+        x = ConvBN(8, strides=2)(x, train)
+        x = ConvBN(16, strides=2)(x, train)
+        raw = nn.Conv(self.bbox_num * (5 + self.class_num), (1, 1),
+                      name="out")(x)
+        n, s1, s2, _ = raw.shape
+        r = raw.reshape(n, s1, s2, self.bbox_num, 5 + self.class_num)
+        box = jax.nn.sigmoid(r[..., :5])
+        prob = jax.nn.softmax(r[..., 5:], axis=-1)
+        return jnp.concatenate([box, prob], -1).reshape(n, s1, s2, -1)
+
+
+def test_export_roundtrip(tmp_path):
+    module = _TinyDet()
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3),
+                    jnp.float32)
+    variables = _randomize(
+        module.init(jax.random.PRNGKey(0), x, train=False), 8)
+
+    path = str(tmp_path / "tiny.serving")
+    save_serving(path, module, variables, input_shape=(32, 32, 3),
+                 batch_size=2, class_num=3, version=2,
+                 threshold=0.1, max_boxes=16)
+    served = load_serving(path)
+    rows, keep = served(x)
+    assert rows.shape == (2, 16, 7) and keep.shape == (2, 16)
+
+    # parity vs the live (unfolded) program
+    live = make_serving_fn(module, variables, class_num=3, version=2,
+                           threshold=0.1, max_boxes=16)
+    rows_ref, keep_ref = jax.jit(live)(x)
+    np.testing.assert_array_equal(np.asarray(keep), np.asarray(keep_ref))
+    np.testing.assert_allclose(np.asarray(rows), np.asarray(rows_ref),
+                               rtol=1e-4, atol=1e-5)
+
+    # wrong input shape must be rejected (fixed-shape AOT artifact)
+    with pytest.raises(Exception):
+        served(jnp.zeros((3, 32, 32, 3)))
+
+
+def test_facade_export_model(tmp_path):
+    from tf2_yolo_tpu import yolov3
+
+    yolo = yolov3.Yolo(input_shape=(96, 96, 3),
+                       class_names=["a", "b"])
+    anchors = np.stack([np.linspace(0.1, 0.9, 6),
+                        np.linspace(0.2, 0.8, 6)], 1)
+    yolo.create_model(anchors=anchors, backbone="tiny_darknet",
+                      pretrained_body=None)
+
+    path = str(tmp_path / "v3tiny.serving")
+    yolo.export_model(path, batch_size=1, threshold=0.05, max_boxes=32)
+    served = load_serving(path)
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 96, 96, 3),
+                    jnp.float32)
+    rows, keep = served(x)
+    assert rows.shape == (1, 32, 7) and keep.shape == (1, 32)
+
+    # exported (folded) program matches Model.predict + device decode/NMS
+    from tf2_yolo_tpu.ops.decode import decode_multi_level
+    from tf2_yolo_tpu.ops.nms import apply_nms_device
+
+    outs = yolo.model.predict(np.asarray(x), batch_size=1)
+    rows_ref, valid = decode_multi_level(
+        [jnp.asarray(o) for o in outs], class_num=2, threshold=0.05,
+        max_boxes=32, version=3)
+    rows_ref, keep_ref = apply_nms_device(rows_ref, valid, nms_mode=1,
+                                          nms_threshold=0.45)
+    np.testing.assert_array_equal(np.asarray(keep), np.asarray(keep_ref))
+    np.testing.assert_allclose(np.asarray(rows), np.asarray(rows_ref),
+                               rtol=1e-4, atol=1e-4)

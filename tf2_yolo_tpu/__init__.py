@@ -32,10 +32,11 @@ from . import yolov2
 from . import yolov3
 from . import yolov4
 from . import assets
+from . import export
 from .engine import Model
 from .config import YoloConfig, LossConfig, NmsConfig, TrainConfig
 
 __all__ = ["ops", "utils", "data", "models", "parallel", "assets",
-           "yolov1_5", "yolov2", "yolov3", "yolov4", "Model",
+           "export", "yolov1_5", "yolov2", "yolov3", "yolov4", "Model",
            "YoloConfig", "LossConfig", "NmsConfig", "TrainConfig",
            "__version__"]

@@ -1,0 +1,223 @@
+"""Deployment export: BatchNorm folding + fixed-shape AOT serving
+artifacts.
+
+The reference's deployment story is a keras weights file reloaded into
+the same Python graph (reference yolov1_5/__init__.py:88-89,
+yolov4/__init__.py:269-274). The TPU-native equivalent exported here:
+
+  1. ``fold_batch_norm`` — folds every BatchNorm's inference statistics
+     into the preceding conv kernel/bias (classic deployment transform),
+     returning a variables tree with the SAME structure so the original
+     flax module applies it unchanged; remaining BN ops degenerate to
+     exact pass-throughs that constant-fold away at compile time.
+  2. ``export_serving`` — AOT-lowers ONE fixed-shape XLA program
+     (eval-mode forward + multi-level top-k decode + greedy NMS — the
+     full path the reference runs as model.predict + host NumPy
+     decode/NMS, utils/tools.py:370-733) with the weights embedded as
+     constants, serialized via ``jax.export`` (StableHLO). Serving then
+     needs no model-building Python at all: ``load_serving(path)``
+     returns a callable taking images and returning padded
+     ``(rows, keep)`` detections.
+
+Folding rules (derived from the module definitions, not guessed):
+  - every BN in this codebase directly follows the conv it is paired
+    with by name — ``bn``/``conv`` (models/layers.py ConvBN),
+    ``bnN``/``convN`` + ``short_bn``/``short_conv`` +
+    ``stem_bn``/``stem_conv`` (models/resnet.py), ``X_bn``/``X_conv``
+    (models/mobilenet.py) — EXCEPT:
+      * ConvActBN (models/layers.py:98, the v2 UNet block) puts the
+        activation between conv and bn: its conv carries a bias param
+        while ConvBN's never does, so a biased ``conv`` sibling marks
+        the non-foldable case and the BN is rewritten affine-only;
+      * ResNetV2's ``pre_bn``/``post_bn`` have no paired conv and are
+        rewritten affine-only.
+  - epsilon is 1e-3 everywhere (tf.keras default) except ResNet scopes
+    (1.001e-5, models/resnet.py:33); ResNet scopes are detected by
+    their ``stage{i}_block{j}`` children so MobileNet's identically
+    named ``stem_bn`` keeps its own epsilon.
+"""
+
+import re
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_DEFAULT_EPS = 1e-3
+_RESNET_EPS = 1.001e-5
+_RESNET_ONLY_BN = {"bn1", "bn2", "bn3", "short_bn", "pre_bn", "post_bn"}
+
+
+def _is_bn_stats(node):
+    return isinstance(node, dict) and set(node) == {"mean", "var"}
+
+
+def _conv_name_for(bn_name):
+    if bn_name == "bn":
+        return "conv"
+    m = re.fullmatch(r"bn(\d+)", bn_name)
+    if m:
+        return "conv" + m.group(1)
+    if bn_name.endswith("_bn"):
+        return bn_name[:-3] + "_conv"
+    return None
+
+
+def _is_resnet_scope(params_node):
+    return any(re.match(r"stage\d+_block\d+$", k) for k in params_node)
+
+
+def fold_batch_norm(variables):
+    """Fold BN inference statistics into conv kernels/biases.
+
+    Returns a new ``{"params", "batch_stats"}`` tree with identical
+    structure: folded convs absorb ``gamma/sqrt(var+eps)`` into their
+    kernels (and the full affine into their bias when they have one),
+    and each BN's parameters are rewritten so its eval-mode output is
+    exactly ``x`` (or ``x + bias`` / ``x*scale + bias`` where the
+    residual affine must ride in the BN). ``module.apply(folded, x,
+    train=False)`` is numerically equivalent to the original.
+    """
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    if not stats:
+        return {"params": params, "batch_stats": {}}
+
+    def fold(p_node, s_node, in_resnet):
+        p_out = dict(p_node)
+        s_out = {}
+        resnet = in_resnet or _is_resnet_scope(p_node)
+        for key, s_child in s_node.items():
+            if _is_bn_stats(s_child):
+                eps = (_RESNET_EPS
+                       if resnet or key in _RESNET_ONLY_BN
+                       else _DEFAULT_EPS)
+                p_out[key], s_out[key] = _fold_one(
+                    p_out, key, s_child, eps)
+            else:
+                p_out[key], s_out[key] = fold(
+                    p_node[key], s_child, resnet)
+        return p_out, s_out
+
+    new_params, new_stats = fold(params, stats, False)
+    return {"params": new_params, "batch_stats": new_stats}
+
+
+def _fold_one(scope_params, bn_name, bn_stats, eps):
+    """Fold one BN given its enclosing scope's params dict. Returns
+    (new bn params, new bn stats); mutates the paired conv entry in
+    ``scope_params`` in place (it is a fresh copy)."""
+    bn = scope_params[bn_name]
+    mean = jnp.asarray(bn_stats["mean"], jnp.float32)
+    var = jnp.asarray(bn_stats["var"], jnp.float32)
+    gamma = jnp.asarray(bn["scale"], jnp.float32)
+    beta = jnp.asarray(bn["bias"], jnp.float32)
+    scale = gamma / jnp.sqrt(var + eps)
+    bias = beta - mean * scale
+
+    # eval-mode BN computes (x - mean) / sqrt(var + eps) * scale + bias;
+    # with mean=0, var=1-eps the normalizer is exactly 1, so the BN
+    # reduces to x*scale + bias with whatever scale/bias we leave in it.
+    passthrough_stats = {
+        "mean": jnp.zeros_like(mean),
+        "var": jnp.full_like(var, 1.0 - eps),
+    }
+
+    conv_name = _conv_name_for(bn_name)
+    conv = scope_params.get(conv_name) if conv_name else None
+    foldable = conv is not None and "kernel" in conv
+    if foldable and "bias" in conv and bn_name == "bn":
+        # ConvActBN: activation sits between conv and bn -> affine only
+        foldable = False
+
+    if not foldable:
+        new_bn = {"scale": scale, "bias": bias}
+        return new_bn, passthrough_stats
+
+    new_conv = dict(conv)
+    kernel = jnp.asarray(conv["kernel"], jnp.float32)
+    new_conv["kernel"] = kernel * scale          # out-channels last
+    if "bias" in conv:
+        new_conv["bias"] = (jnp.asarray(conv["bias"], jnp.float32)
+                            * scale + bias)
+        new_bn = {"scale": jnp.ones_like(scale),
+                  "bias": jnp.zeros_like(bias)}
+    else:
+        new_bn = {"scale": jnp.ones_like(scale), "bias": bias}
+    scope_params[conv_name] = new_conv
+    return new_bn, passthrough_stats
+
+
+# ----------------------------------------------------------------------
+def make_serving_fn(module, variables, class_num, version,
+                    threshold=0.5, nms_mode=1, nms_threshold=0.45,
+                    nms_sigma=0.5, max_boxes=128):
+    """Build the full inference program with weights closed over
+    (embedded as compile-time constants): eval-mode forward +
+    device decode + device NMS. Returns ``fn(images) -> (rows, keep)``
+    with rows ``(N, max_boxes, 7)`` = [x, y, w, h, conf, class_idx,
+    class_prob] and keep ``(N, max_boxes)`` bool.
+    """
+    from .ops.decode import decode_multi_level
+    from .ops.nms import apply_nms_device
+
+    frozen = jax.tree_util.tree_map(jnp.asarray, variables)
+
+    def serve(images):
+        outs = module.apply(frozen, images, train=False)
+        rows, valid = decode_multi_level(
+            outs if isinstance(outs, (list, tuple)) else [outs],
+            class_num=class_num, threshold=threshold,
+            max_boxes=max_boxes, version=version)
+        return apply_nms_device(
+            rows, valid, nms_mode=nms_mode,
+            nms_threshold=nms_threshold, conf_threshold=threshold,
+            nms_sigma=nms_sigma)
+
+    return serve
+
+
+def export_serving(module, variables, input_shape, batch_size,
+                   class_num, version, fold_bn=True, platforms=None,
+                   **serving_kwargs):
+    """AOT-lower and serialize the serving program at a fixed
+    ``(batch_size, *input_shape)`` f32 image shape.
+
+    Args:
+        platforms: lowering platforms tuple (e.g. ``("tpu", "cpu")``);
+            None = current default backend only.
+
+    Returns the serialized artifact bytes (StableHLO with embedded
+    weights, ``jax.export`` format).
+    """
+    from jax import export as jax_export
+
+    if fold_bn:
+        variables = fold_batch_norm(variables)
+    serve = make_serving_fn(module, variables, class_num, version,
+                            **serving_kwargs)
+    spec = jax.ShapeDtypeStruct((batch_size, *input_shape),
+                                jnp.float32)
+    exported = jax_export.export(
+        jax.jit(serve),
+        platforms=list(platforms) if platforms else None)(spec)
+    return exported.serialize()
+
+
+def save_serving(path, module, variables, input_shape, batch_size,
+                 class_num, version, **kwargs):
+    blob = export_serving(module, variables, input_shape, batch_size,
+                          class_num, version, **kwargs)
+    with open(path, "wb") as f:
+        f.write(blob)
+    return path
+
+
+def load_serving(path):
+    """Load a serialized serving artifact. Returns a jitted callable
+    ``fn(images) -> (rows, keep)`` — no model-building code needed."""
+    from jax import export as jax_export
+
+    with open(path, "rb") as f:
+        exported = jax_export.deserialize(bytearray(f.read()))
+    return jax.jit(exported.call)

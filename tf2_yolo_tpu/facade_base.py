@@ -217,6 +217,34 @@ class YoloBase:
             nms_sigma=nms_sigma, version=self.version, **kwargs)
 
     # ------------------------------------------------------------------
+    def export_model(self, path, batch_size=1, threshold=0.5,
+                     nms_mode=1, nms_threshold=0.45, nms_sigma=0.5,
+                     max_boxes=128, fold_bn=True, platforms=None):
+        """Export a fixed-shape serving artifact (forward + decode +
+        NMS, weights embedded, BatchNorm folded) via jax.export.
+
+        The deployment counterpart of the reference's weights-file
+        story (reference yolov4/__init__.py:269-274): the artifact is
+        reloaded with ``tf2_yolo_tpu.export.load_serving(path)`` and
+        called directly on (batch_size, H, W, 3) f32 images — no
+        model-building Python needed at serving time.
+        """
+        from .export import save_serving
+
+        if self.model is None:
+            raise ValueError("Call create_model() before export_model()")
+        variables = {"params": self.model.params,
+                     "batch_stats": self.model.batch_stats}
+        return save_serving(
+            path, self.model.module, variables,
+            input_shape=self.input_shape, batch_size=batch_size,
+            class_num=self.class_num, version=self.version,
+            fold_bn=fold_bn, platforms=platforms,
+            threshold=threshold, nms_mode=nms_mode,
+            nms_threshold=nms_threshold, nms_sigma=nms_sigma,
+            max_boxes=max_boxes)
+
+    # ------------------------------------------------------------------
     @staticmethod
     def _parse_recall_threshold(kind):
         thr = kind[kind.find("recall") + 6:]
