@@ -174,6 +174,11 @@ def run_reference(version, size, classes, n_images, epochs,
     if not os.path.isdir(REF):
         raise SystemExit("reference checkout not available")
     import tensorflow as tf
+    # TF-CPU grappler tries to remap BatchNorm+Mish into a fused op it
+    # has no kernel for ("Fusion is not implemented: [FusedBatchNorm,
+    # Mish]" at predict time on the v4 reference model) — disable the
+    # remapper so the reference graph runs as written.
+    tf.config.optimizer.set_experimental_options({"remapping": False})
 
     _, img, labels = build_dataset(version, size, classes, n_images,
                                    seed)
