@@ -84,6 +84,11 @@ def test_assets():
     assert len(coco) == 80 and coco[0] == "person"
     voc = load_class_names("voc")
     assert len(voc) == 20 and "person" in voc
+    imagenet = load_class_names("imagenet")
+    assert len(imagenet) == 1000 and imagenet[0] == "kit fox"
+    pairs = load_class_names("imagenet", with_synsets=True)
+    assert pairs[0] == ("n02119789", "kit fox")
+    assert all(s.startswith("n") and s[1:].isdigit() for s, _ in pairs)
 
 
 def test_kmeans_jax_clusters():

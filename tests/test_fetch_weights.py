@@ -91,3 +91,22 @@ def test_lock_written_by_main(cache, tmp_path):
         del fetch_weights.MANIFEST["_tmp_test"]
     lock = json.loads((cache / "fetch_manifest.lock.json").read_text())
     assert "_tmp_test" in lock
+
+
+def test_from_dir_ingests_without_network(cache, tmp_path):
+    # a "checkout" holding the artifact under a nested path, found by
+    # the upstream URL's file name
+    checkout = tmp_path / "upstream" / "yolov3" / "models"
+    checkout.mkdir(parents=True)
+    (checkout / "imagenet_classnames.txt").write_text("n001,thing\n")
+    asset_dir = tmp_path / "assets"
+    asset_dir.mkdir()
+    spec = {"url": "https://unreachable.invalid/imagenet_classnames.txt",
+            "file": "imagenet_classnames.txt", "convert": None,
+            "asset": "imagenet_classnames.txt"}
+    msg = fetch_weights.fetch_one(
+        "imagenet_classnames", spec, {}, asset_dir=str(asset_dir),
+        from_dir=str(tmp_path / "upstream"))
+    assert "asset installed" in msg
+    assert (asset_dir / "imagenet_classnames.txt").read_text() \
+        == "n001,thing\n"

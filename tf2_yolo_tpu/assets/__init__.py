@@ -6,17 +6,33 @@ import os
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def load_class_names(name="coco"):
+def load_class_names(name="coco", with_synsets=False):
     """Load a bundled class list: "coco" (80), "voc" (20), or
-    "imagenet" (999, fetched — see below), or a path to a
-    newline-separated file."""
+    "imagenet" (1000 ILSVRC2012 entries, devkit order, lines of
+    "synset_id,name" — the public vocabulary the reference ships at
+    yolov3/models/imagenet_classnames.txt), or a path to a
+    newline-separated file.
+
+    Lines containing a comma are split as "synset,name" and the name
+    part is returned; pass ``with_synsets=True`` for (synset, name)
+    tuples instead."""
     path = name
     if not os.path.isfile(path):
         path = os.path.join(_HERE, f"{name}_classnames.txt")
     if not os.path.isfile(path) and name == "imagenet":
         raise FileNotFoundError(
-            "imagenet_classnames.txt is not bundled (this box has no "
-            "egress); run `python tools/fetch_weights.py --only "
-            "imagenet_classnames` once online to install it.")
+            "imagenet_classnames.txt missing; run `python "
+            "tools/fetch_weights.py --only imagenet_classnames` "
+            "(add --from-dir <upstream checkout> when offline).")
+    out = []
     with open(path) as f:
-        return [line.strip() for line in f if line.strip()]
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if "," in line:
+                synset, cname = line.split(",", 1)
+                out.append((synset, cname) if with_synsets else cname)
+            else:
+                out.append((None, line) if with_synsets else line)
+    return out

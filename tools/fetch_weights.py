@@ -17,6 +17,10 @@ Usage:
     python tools/fetch_weights.py             # fetch + convert all
     python tools/fetch_weights.py --list      # show manifest + status
     python tools/fetch_weights.py --only ms_coco pascal_voc
+    python tools/fetch_weights.py --from-dir /path/to/tf2_YOLO
+        # zero-egress: ingest artifacts from a local checkout/download
+        # directory instead of the network (looked up by file name,
+        # recursively)
 """
 
 import argparse
@@ -133,17 +137,37 @@ def _download(url, dest, timeout=60):
     os.replace(tmp, dest)
 
 
-def fetch_one(name, spec, lock, force=False, asset_dir=None):
+def _find_local(root, filename, url):
+    """Locate a manifest artifact in a local directory tree: by the
+    manifest file name, or by the upstream file name from the URL
+    (a reference checkout stores imagenet_classnames.txt under
+    yolov{3,4}/models/)."""
+    basenames = {filename, url.rsplit("/", 1)[-1]}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f in basenames:
+                return os.path.join(dirpath, f)
+    return None
+
+
+def fetch_one(name, spec, lock, force=False, asset_dir=None,
+              from_dir=None):
     """Fetch + verify + convert one manifest entry. Returns a status
     string; never raises on network errors."""
     cache = _cache_dir()
     dest = os.path.join(cache, spec["file"])
 
     if not os.path.isfile(dest) or force:
-        try:
-            _download(spec["url"], dest)
-        except (urllib.error.URLError, OSError, ValueError) as e:
-            return f"offline/unreachable ({type(e).__name__}): skipped"
+        src = _find_local(from_dir, spec["file"], spec["url"]) \
+            if from_dir else None
+        if src is not None:
+            with open(src, "rb") as s, open(dest, "wb") as d:
+                d.write(s.read())
+        else:
+            try:
+                _download(spec["url"], dest)
+            except (urllib.error.URLError, OSError, ValueError) as e:
+                return f"offline/unreachable ({type(e).__name__}): skipped"
 
     digest = _sha256(dest)
     expected = spec.get("sha256") or lock.get(name, {}).get("sha256")
@@ -184,6 +208,10 @@ def main(argv=None):
                     help="restrict to these manifest names")
     ap.add_argument("--force", action="store_true",
                     help="re-download even if cached")
+    ap.add_argument("--from-dir", default=None,
+                    help="ingest artifacts from a local directory tree "
+                         "(e.g. a checkout of the upstream repo) "
+                         "instead of the network")
     args = ap.parse_args(argv)
 
     lock = _load_lock()
@@ -202,7 +230,8 @@ def main(argv=None):
 
     for name in names:
         print(f"{name}: ", end="", flush=True)
-        print(fetch_one(name, MANIFEST[name], lock, force=args.force))
+        print(fetch_one(name, MANIFEST[name], lock, force=args.force,
+                        from_dir=args.from_dir))
 
     with open(_lock_path(), "w") as f:
         json.dump(lock, f, indent=2, sort_keys=True)
