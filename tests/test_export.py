@@ -211,3 +211,30 @@ def test_facade_export_model(tmp_path):
     np.testing.assert_array_equal(np.asarray(keep), np.asarray(keep_ref))
     np.testing.assert_allclose(np.asarray(rows), np.asarray(rows_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_saved_model_export(tmp_path):
+    tf = pytest.importorskip("tensorflow")
+    from tf2_yolo_tpu.export import save_saved_model
+
+    module = _TinyDet()
+    x = np.random.RandomState(2).rand(2, 32, 32, 3).astype(np.float32)
+    variables = _randomize(
+        module.init(jax.random.PRNGKey(1), jnp.asarray(x), train=False),
+        9)
+
+    out_dir = tmp_path / "tiny_sm"
+    save_saved_model(out_dir, module, variables, input_shape=(32, 32, 3),
+                     batch_size=2, class_num=3, version=2,
+                     threshold=0.1, max_boxes=16)
+    restored = tf.saved_model.load(str(out_dir))
+    rows_tf, keep_tf = restored.serve(tf.constant(x))
+
+    live = make_serving_fn(module, variables, class_num=3, version=2,
+                           threshold=0.1, max_boxes=16)
+    rows_ref, keep_ref = jax.jit(live)(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(keep_tf),
+                                  np.asarray(keep_ref))
+    np.testing.assert_allclose(np.asarray(rows_tf),
+                               np.asarray(rows_ref),
+                               rtol=1e-4, atol=1e-5)

@@ -99,3 +99,27 @@ def test_apply_nms_device_pallas_route_matches_xla():
     xs = xs[np.lexsort(xs.T[::-1])]
     ps = ps[np.lexsort(ps.T[::-1])]
     np.testing.assert_allclose(ps, xs, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("k", [768, 1024])
+def test_pallas_nms_blocked_large_k(k):
+    # K > 512 dispatches to the row-strip blocked kernel (bf16 mask
+    # scratch); keep mask must match the one-shot algorithm exactly
+    rng = np.random.RandomState(3)
+    boxes, raw = make_sorted_boxes(rng, n_img=2, n_box=200, k=k,
+                                   classes=3)
+    keep = np.asarray(nms_pallas(boxes, threshold=0.45, interpret=True))
+    for i, rows in enumerate(raw):
+        dev = boxes[i, keep[i] > 0.5][:, :7]
+        host = host_nms(rows, class_num=3, nms_threshold=0.45,
+                        iou_mode=1)
+        dev_sorted = dev[np.lexsort(dev.T[::-1])]
+        host_sorted = host[np.lexsort(host.T[::-1])]
+        np.testing.assert_allclose(dev_sorted, host_sorted,
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_nms_large_k_requires_multiple_of_128():
+    boxes = np.zeros((1, 640 + 64, 8), np.float32)
+    with pytest.raises(ValueError, match="multiple of 128"):
+        nms_pallas(boxes, interpret=True)

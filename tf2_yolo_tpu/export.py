@@ -221,3 +221,35 @@ def load_serving(path):
     with open(path, "rb") as f:
         exported = jax_export.deserialize(bytearray(f.read()))
     return jax.jit(exported.call)
+
+
+def save_saved_model(path, module, variables, input_shape, batch_size,
+                     class_num, version, fold_bn=True,
+                     **serving_kwargs):
+    """Export the serving program as a TensorFlow SavedModel.
+
+    The reference's user base deploys through the TF stack; this wraps
+    the SAME folded forward+decode+NMS program via jax2tf (native
+    StableHLO serialization) into a ``tf.Module`` with one ``serve``
+    signature taking (batch_size, H, W, 3) f32 images, so existing TF
+    serving infrastructure can run the model without JAX installed.
+    Requires tensorflow; raises ImportError otherwise.
+    """
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    if fold_bn:
+        variables = fold_batch_norm(variables)
+    serve = make_serving_fn(module, variables, class_num, version,
+                            **serving_kwargs)
+    tf_fn = tf.function(
+        jax2tf.convert(serve, with_gradient=False),
+        input_signature=[tf.TensorSpec((batch_size, *input_shape),
+                                       tf.float32, name="images")],
+        autograph=False)
+
+    wrapper = tf.Module()
+    wrapper.serve = tf_fn
+    tf.saved_model.save(wrapper, str(path),
+                        signatures={"serving_default": tf_fn})
+    return path

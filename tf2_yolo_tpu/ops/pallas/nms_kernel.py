@@ -12,6 +12,11 @@ Mosaic notes:
     suppression loop can dynamic-slice "row i" on the sublane axis
     (O(K) per step, O(K^2) total — a value-level one-hot select would
     cost O(K^2) per step);
+  - for K > 512 the one-shot lattice (~8 live (K, K) f32 tiles)
+    exceeds the 16 MB scoped VMEM limit, so a blocked variant builds
+    the overlap matrix in (block, K) row strips into a bf16 mask
+    scratch (0/1 exactly representable), keeping peak f32 live data
+    O(block*K);
   - the current box's alive flag is read with a lane one-hot reduction
     (dynamic lane indexing is not lowerable), which is O(K) per step;
   - the keep-mask output is written as an (8, K) tile (sublane-padded)
@@ -34,61 +39,98 @@ from jax.experimental.pallas import tpu as pltpu
 EPSILON = 1e-07
 
 
+def _pairwise_overlap(rows, boxes, row_off, *, threshold, iou_mode):
+    """Overlap mask block: (R, K) — rows are suppressors [row_off,
+    row_off+R), columns all K candidates. rows/boxes are (R, 8)/(K, 8)."""
+    r = rows.shape[0]
+    k = boxes.shape[0]
+
+    xa, ya = rows[:, 0:1], rows[:, 1:2]          # R,1
+    wa, ha = rows[:, 2:3], rows[:, 3:4]
+    cls_a, valid_a = rows[:, 5:6], rows[:, 7:8]
+    xb = boxes[:, 0:1].T                         # 1,K
+    yb = boxes[:, 1:2].T
+    wb, hb = boxes[:, 2:3].T, boxes[:, 3:4].T
+    cls_b = boxes[:, 5:6].T
+
+    x1a, x2a = xa - wa / 2, xa + wa / 2
+    y1a, y2a = ya - ha / 2, ya + ha / 2
+    x1b, x2b = xb - wb / 2, xb + wb / 2
+    y1b, y2b = yb - hb / 2, yb + hb / 2
+
+    iw = jnp.maximum(jnp.minimum(x2a, x2b) - jnp.maximum(x1a, x1b), 0.0)
+    ih = jnp.maximum(jnp.minimum(y2a, y2b) - jnp.maximum(y1a, y1b), 0.0)
+    inter = iw * ih
+    union = wa * ha + wb * hb - inter
+    iou = inter / (union + EPSILON)
+
+    if iou_mode == 2:                            # DIoU penalty
+        ew = jnp.maximum(x2a, x2b) - jnp.minimum(x1a, x1b)
+        eh = jnp.maximum(y2a, y2b) - jnp.minimum(y1a, y1b)
+        rho2 = (xa - xb) ** 2 + (ya - yb) ** 2
+        iou = iou - rho2 / (ew * ew + eh * eh)
+
+    same_class = (cls_a == cls_b).astype(jnp.float32)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (r, k), 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (r, k), 0) + row_off
+    later = (col_ids > row_ids).astype(jnp.float32)
+    # suppression candidates: same class, overlapping, valid, strictly
+    # later in confidence order (upper triangle); invalid rows can
+    # never suppress
+    return ((iou >= threshold).astype(jnp.float32)
+            * same_class * later * valid_a)
+
+
+def _suppression_scan(overlap_ref, valid_row, k):
+    """Greedy alive-mask scan over the precomputed overlap matrix."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+
+    def body(i, alive):
+        # alive flag of box i: lane one-hot reduction (O(K))
+        keep_i = jnp.sum(alive * (lane == i).astype(jnp.float32))
+        row_i = overlap_ref[pl.ds(i, 1), :].astype(jnp.float32)
+        return alive * (1.0 - row_i * keep_i)
+
+    alive = jax.lax.fori_loop(
+        0, k, body, jnp.ones((1, k), jnp.float32))
+    return alive * valid_row                     # 1,K
+
+
+def _nms_kernel_blocked(boxes_ref, keep_ref, overlap_ref, *, threshold,
+                        iou_mode, block):
+    """Large-K variant: the overlap matrix is built in (block, K) row
+    strips into a bf16 scratch, so peak live VMEM stays O(block*K)
+    for the f32 intermediates instead of ~8 concurrent (K, K) tiles
+    (which exceeds the 16 MB scoped VMEM limit at K=1024)."""
+    boxes = boxes_ref[0]                         # K, 8
+    k = boxes.shape[0]
+
+    def fill(j, _):
+        off = j * block
+        rows = boxes_ref[0, pl.ds(off, block), :]
+        overlap_ref[pl.ds(off, block), :] = _pairwise_overlap(
+            rows, boxes, off, threshold=threshold,
+            iou_mode=iou_mode).astype(overlap_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, k // block, fill, 0)
+
+    valid_row = boxes[:, 7:8].T                  # 1,K
+    keep = _suppression_scan(overlap_ref, valid_row, k)
+    keep_ref[0] = jnp.broadcast_to(keep, (8, k))
+
+
 def _nms_kernel(boxes_ref, keep_ref, overlap_ref, *, threshold,
                 iou_mode):
     boxes = boxes_ref[0]                        # K, 8
     k = boxes.shape[0]
 
-    x = boxes[:, 0:1]
-    y = boxes[:, 1:2]
-    w = boxes[:, 2:3]
-    h = boxes[:, 3:4]
-    cls = boxes[:, 5:6]
-    valid = boxes[:, 7:8]
+    # whole (K, K) lattice in one shot (fastest; fits VMEM for K<=512)
+    overlap_ref[...] = _pairwise_overlap(
+        boxes, boxes, 0, threshold=threshold, iou_mode=iou_mode)
 
-    # pairwise IoU on the (K, K) lattice; rows = suppressor i,
-    # cols = candidate j
-    x1a, x2a = x - w / 2, x + w / 2             # K,1
-    y1a, y2a = y - h / 2, y + h / 2
-    x1b, x2b = x1a.T, x2a.T                     # 1,K
-    y1b, y2b = y1a.T, y2a.T
-
-    iw = jnp.maximum(jnp.minimum(x2a, x2b) - jnp.maximum(x1a, x1b), 0.0)
-    ih = jnp.maximum(jnp.minimum(y2a, y2b) - jnp.maximum(y1a, y1b), 0.0)
-    inter = iw * ih
-    area = w * h
-    union = area + area.T - inter
-    iou = inter / (union + EPSILON)
-
-    if iou_mode == 2:                           # DIoU penalty
-        ew = jnp.maximum(x2a, x2b) - jnp.minimum(x1a, x1b)
-        eh = jnp.maximum(y2a, y2b) - jnp.minimum(y1a, y1b)
-        rho2 = (x - x.T) ** 2 + (y - y.T) ** 2
-        iou = iou - rho2 / (ew * ew + eh * eh)
-
-    same_class = (cls == cls.T).astype(jnp.float32)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
-    later = (col_ids > row_ids).astype(jnp.float32)
-    # suppression candidates: same class, overlapping, valid, strictly
-    # later in confidence order (upper triangle)
-    # rows of invalid boxes can never suppress: fold valid into rows
-    # here (valid, K,1) and candidates' validity into the final mask
-    overlap_ref[...] = ((iou >= threshold).astype(jnp.float32)
-                        * same_class * later * valid)
-
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
-    valid_row = valid[:, 0][None, :]            # 1,K
-
-    def body(i, alive):
-        # alive flag of box i: lane one-hot reduction (O(K))
-        keep_i = jnp.sum(alive * (lane == i).astype(jnp.float32))
-        row_i = overlap_ref[pl.ds(i, 1), :]     # 1,K dynamic sublane
-        return alive * (1.0 - row_i * keep_i)
-
-    alive = jax.lax.fori_loop(
-        0, k, body, jnp.ones((1, k), jnp.float32))
-    keep = alive * valid_row                    # 1,K
+    valid_row = boxes[:, 7:8].T                 # 1,K
+    keep = _suppression_scan(overlap_ref, valid_row, k)
     keep_ref[0] = jnp.broadcast_to(keep, (8, k))
 
 
@@ -109,8 +151,24 @@ def nms_pallas(boxes, threshold=0.45, iou_mode=1, interpret=False):
         keep: (N, K) f32 {0,1} mask over the sorted rows.
     """
     n, k, _ = boxes.shape
-    kernel = functools.partial(
-        _nms_kernel, threshold=threshold, iou_mode=iou_mode)
+    if k > 512 and k % 128:
+        raise ValueError(
+            f"K={k}: the blocked large-K kernel needs K to be a "
+            "multiple of 128 (pad the candidate set)")
+    if k <= 512:
+        # one-shot lattice, f32 scratch
+        kernel = functools.partial(
+            _nms_kernel, threshold=threshold, iou_mode=iou_mode)
+        scratch = pltpu.VMEM((k, k), jnp.float32)
+    else:
+        # row-strip construction, bf16 mask scratch: peak VMEM is
+        # O(block*K) f32 intermediates + 2*K^2 bytes of scratch
+        # (K=1024: ~2 MB + strips, vs ~8x4 MB one-shot)
+        block = 128 if k % 256 else 256
+        kernel = functools.partial(
+            _nms_kernel_blocked, threshold=threshold,
+            iou_mode=iou_mode, block=block)
+        scratch = pltpu.VMEM((k, k), jnp.bfloat16)
     out = pl.pallas_call(
         kernel,
         grid=(n,),
@@ -119,7 +177,7 @@ def nms_pallas(boxes, threshold=0.45, iou_mode=1, interpret=False):
         out_specs=pl.BlockSpec((1, 8, k), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, 8, k), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((k, k), jnp.float32)],
+        scratch_shapes=[scratch],
         interpret=interpret,
     )(boxes)
     return out[:, 0, :]
