@@ -3,12 +3,13 @@
 from .tools import (read_img, down2xlabel, decode, nms, soft_nms,
                     cal_iou, get_class_weight, vis_img,
                     array_to_json, array_to_xml)
-from .kmeans import kmeans, iou, iou_dist, euclidean_dist
+from .kmeans import (kmeans, kmeans_jax, iou, iou_dist,
+                     euclidean_dist)
 from .measurement import create_score_mat, PRfunc, PR_func
 
 __all__ = [
     "read_img", "down2xlabel", "decode", "nms", "soft_nms", "cal_iou",
     "get_class_weight", "vis_img", "array_to_json", "array_to_xml",
-    "kmeans", "iou", "iou_dist", "euclidean_dist",
+    "kmeans", "kmeans_jax", "iou", "iou_dist", "euclidean_dist",
     "create_score_mat", "PRfunc", "PR_func",
 ]
