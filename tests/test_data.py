@@ -184,3 +184,59 @@ def test_prefetch_to_device_sharded():
 
     got = list(threaded_prefetch(lambda: iter(batches), size=2))
     assert len(got) == 5
+
+
+def test_hsv_jitter_preserves_shape_and_boxes():
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (16, 16, 3)).astype(np.uint8)
+    boxes = np.array([[2.0, 2.0, 8.0, 8.0, 0.0]])
+    out, out_boxes = augment.HSVJitter(hue=0.1, sat=0.5, val=0.5)(
+        img, boxes, rng)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    np.testing.assert_array_equal(out_boxes, boxes)
+    # zero-magnitude jitter is (near-)identity
+    same, _ = augment.HSVJitter(hue=0, sat=0, val=0)(img, boxes, rng)
+    assert np.abs(same.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_mosaic_merges_and_remaps_boxes():
+    rng = np.random.RandomState(1)
+    base = np.full((40, 40, 3), 10, np.uint8)
+    base_boxes = np.array([[0.0, 0.0, 40.0, 40.0, 0.0]])
+    other = np.full((40, 40, 3), 200, np.uint8)
+    other_boxes = np.array([[10.0, 10.0, 30.0, 30.0, 1.0]])
+
+    mosaic = augment.Mosaic(lambda r: (other, other_boxes.copy()),
+                            prob=1.0, center=(0.5, 0.5))
+    img, boxes = mosaic(base, base_boxes.copy(), rng)
+    assert img.shape == base.shape
+    # quadrant 0 is the base image, the other three the sampled one
+    assert (img[:20, :20] == 10).all()
+    assert (img[25:, 25:] == 200).all()
+    # 1 base box + 3 sampled boxes survive, labels carried
+    assert len(boxes) == 4
+    assert sorted(boxes[:, 4].tolist()) == [0.0, 1.0, 1.0, 1.0]
+    # base box was stretched into quadrant (0,0)-(20,20)
+    np.testing.assert_allclose(boxes[0, :4], [0, 0, 20, 20])
+    # sampled box in the bottom-right quadrant: offset by center
+    br = boxes[np.argmax(boxes[:, 0] + boxes[:, 1])]
+    np.testing.assert_allclose(br[:4], [25, 25, 35, 35])
+    assert boxes.shape[1] == 5
+
+
+def test_mosaic_via_sequence_sample_raw(tmp_path):
+    img_dir, lab_dir = make_dataset(str(tmp_path), n_images=4)
+    seq = YoloDataSequence(
+        img_path=img_dir, label_path=lab_dir, batch_size=4,
+        size=(96, 96), grid_shape=(6, 6),
+        class_names=["square", "bar"], shuffle=False,
+        encoding="utf-8")
+    rng = np.random.RandomState(0)
+    img, tagged = seq.sample_raw(rng)
+    assert img.shape == (96, 96, 3) and tagged.shape[1] == 5
+
+    seq.augmenter = augment.Sequential(
+        [augment.Mosaic(seq.sample_raw)], seed=0)
+    imgs, labels = seq[0]
+    assert imgs.shape == (4, 96, 96, 3)
+    assert (labels[..., 4] == 1).any()

@@ -137,3 +137,85 @@ class ColorJitter:
         img = (img - scale / 2) * c + scale / 2 + b
         img = img.clip(0, scale)
         return img.astype(image.dtype), boxes
+
+
+class HSVJitter:
+    """Darknet-style HSV jitter: additive hue shift (wrapping),
+    multiplicative saturation/value gains. The YOLOv4 training recipe's
+    color augmentation (hue=.1 sat=1.5 val=1.5 in darknet terms maps to
+    roughly hue=0.05, sat=val=0.5 here)."""
+
+    def __init__(self, hue=0.015, sat=0.4, val=0.4):
+        self.hue, self.sat, self.val = hue, sat, val
+
+    def __call__(self, image, boxes, rng=np.random):
+        from matplotlib.colors import rgb_to_hsv, hsv_to_rgb
+        scale = 255.0 if image.dtype == np.uint8 else 1.0
+        hsv = rgb_to_hsv(image.astype(np.float32) / scale)
+        hsv[..., 0] = (hsv[..., 0]
+                       + rng.uniform(-self.hue, self.hue)) % 1.0
+        hsv[..., 1] = np.clip(
+            hsv[..., 1] * (1 + rng.uniform(-self.sat, self.sat)), 0, 1)
+        hsv[..., 2] = np.clip(
+            hsv[..., 2] * (1 + rng.uniform(-self.val, self.val)), 0, 1)
+        out = hsv_to_rgb(hsv) * scale
+        return out.astype(image.dtype), boxes
+
+
+def _resize_img(img, w, h):
+    if img.dtype == np.uint8:
+        from PIL import Image
+        return np.asarray(Image.fromarray(img).resize((w, h)))
+    ys = (np.arange(h) * img.shape[0] / h).astype(int)
+    xs = (np.arange(w) * img.shape[1] / w).astype(int)
+    return img[ys][:, xs]
+
+
+class Mosaic:
+    """YOLOv4-paper 4-image mosaic (arXiv:2004.10934 §3.4; the
+    reference has no equivalent). Splits the canvas at a random center
+    and stretches one sample into each quadrant, remapping and merging
+    their boxes.
+
+    ``sampler(rng) -> (image, (N, 5) tagged boxes)`` supplies the three
+    extra samples — wire it to ``YoloDataSequence.sample_raw``:
+
+        seq = yolo.read_file_to_sequence(...)
+        seq.augmenter = Sequential(
+            [Mosaic(seq.sample_raw), RandomFlipLR()], seed=0)
+    """
+
+    def __init__(self, sampler, prob=1.0, center=(0.3, 0.7)):
+        self.sampler = sampler
+        self.prob = prob
+        self.center = center
+
+    def __call__(self, image, boxes, rng=np.random):
+        if rng.rand() >= self.prob:
+            return image, boxes
+        h, w = image.shape[:2]
+        cx = int(rng.uniform(*self.center) * w)
+        cy = int(rng.uniform(*self.center) * h)
+        canvas = np.zeros_like(image)
+        regions = [(0, 0, cx, cy), (cx, 0, w, cy),
+                   (0, cy, cx, h), (cx, cy, w, h)]
+        samples = [(image, boxes)] \
+            + [self.sampler(rng) for _ in range(3)]
+        cols = boxes.shape[1] if getattr(boxes, "ndim", 0) == 2 else 5
+        merged = []
+        for (x0, y0, x1, y1), (img_s, b_s) in zip(regions, samples):
+            rw, rh = x1 - x0, y1 - y0
+            if rw < 2 or rh < 2:
+                continue
+            canvas[y0:y1, x0:x1] = _resize_img(img_s, rw, rh)
+            if len(b_s):
+                b = np.asarray(b_s, float).copy()
+                b[:, [0, 2]] = b[:, [0, 2]] * (rw / img_s.shape[1]) + x0
+                b[:, [1, 3]] = b[:, [1, 3]] * (rh / img_s.shape[0]) + y0
+                merged.append(b)
+        if not merged:
+            return canvas, np.zeros((0, cols))
+        out = np.concatenate(merged, axis=0)
+        keep = ((out[:, 2] - out[:, 0]) > 1) & \
+               ((out[:, 3] - out[:, 1]) > 1)
+        return canvas, out[keep]

@@ -163,7 +163,10 @@ class YoloDataSequence:
         img = img.resize(self.size[::-1]).convert("RGB")
         return np.array(img), zoom
 
-    def _read_one(self, name, img_batch, label_batch, pos):
+    def _load_sample(self, name):
+        """Load one raw sample pre-augmentation: (image, tagged) with
+        tagged an (N, 5) float array [x1, y1, x2, y2, class_idx] in
+        pixel coordinates of the resized image."""
         if self.label_format == "labelimg":
             stem = name[:name.rfind(".")]
             boxes, labels = parse_labelimg(
@@ -186,14 +189,24 @@ class YoloDataSequence:
         if len(boxes):
             boxes = boxes / np.array([zoom[0], zoom[1],
                                       zoom[0], zoom[1]])[None, :]
+        # labels ride as a 5th column so augmenters that drop boxes
+        # keep the pairing intact
+        tagged = np.concatenate(
+            [boxes, labels[:, None]], axis=1) if len(boxes) \
+            else np.zeros((0, 5))
+        return img, tagged
+
+    def sample_raw(self, rng=np.random):
+        """A random raw (image, tagged-boxes) sample — the sampler hook
+        for cross-image augmenters (``data.augment.Mosaic``)."""
+        name = self.path_list[rng.randint(len(self.path_list))]
+        return self._load_sample(name)
+
+    def _read_one(self, name, img_batch, label_batch, pos):
+        img, tagged = self._load_sample(name)
         if self.augmenter is not None:
-            # carry labels as a 5th column so augmenters that drop
-            # boxes keep the pairing intact
-            tagged = np.concatenate(
-                [boxes, labels[:, None]], axis=1) if len(boxes) \
-                else np.zeros((0, 5))
             img, tagged = self.augmenter(img, tagged)
-            boxes, labels = tagged[:, :4], tagged[:, 4]
+        boxes, labels = tagged[:, :4], tagged[:, 4]
         if self.preprocessing is not None:
             img = self.preprocessing(img)
         labels = labels.astype(int)
