@@ -14,9 +14,10 @@ Mosaic notes:
     cost O(K^2) per step);
   - for K > 512 the one-shot lattice (~8 live (K, K) f32 tiles)
     exceeds the 16 MB scoped VMEM limit, so a blocked variant builds
-    the overlap matrix in (block, K) row strips into a bf16 mask
-    scratch (0/1 exactly representable), keeping peak f32 live data
-    O(block*K);
+    the overlap matrix in (block, K) row strips, keeping live data at
+    one (K, K) scratch + O(block*K) intermediates (compiled-on-TPU
+    supported through K=1024; the scratch alone hits the limit around
+    K=2048);
   - the current box's alive flag is read with a lane one-hot reduction
     (dynamic lane indexing is not lowerable), which is O(K) per step;
   - the keep-mask output is written as an (8, K) tile (sublane-padded)
@@ -99,8 +100,8 @@ def _suppression_scan(overlap_ref, valid_row, k):
 def _nms_kernel_blocked(boxes_ref, keep_ref, overlap_ref, *, threshold,
                         iou_mode, block):
     """Large-K variant: the overlap matrix is built in (block, K) row
-    strips into a bf16 scratch, so peak live VMEM stays O(block*K)
-    for the f32 intermediates instead of ~8 concurrent (K, K) tiles
+    strips, so peak live VMEM stays O(block*K) for the intermediates
+    plus one (K, K) scratch instead of ~8 concurrent (K, K) tiles
     (which exceeds the 16 MB scoped VMEM limit at K=1024)."""
     boxes = boxes_ref[0]                         # K, 8
     k = boxes.shape[0]
@@ -161,14 +162,17 @@ def nms_pallas(boxes, threshold=0.45, iou_mode=1, interpret=False):
             _nms_kernel, threshold=threshold, iou_mode=iou_mode)
         scratch = pltpu.VMEM((k, k), jnp.float32)
     else:
-        # row-strip construction, bf16 mask scratch: peak VMEM is
-        # O(block*K) f32 intermediates + 2*K^2 bytes of scratch
-        # (K=1024: ~2 MB + strips, vs ~8x4 MB one-shot)
+        # row-strip construction: peak VMEM is O(block*K) f32
+        # intermediates + one K^2 f32 scratch (K=1024: 4 MB + strips,
+        # vs ~8 concurrent 4 MB tiles one-shot). The scratch stays f32:
+        # Mosaic cannot prove sublane alignment for the suppression
+        # loop's dynamic single-row loads on a bf16 (16, 128)-tiled
+        # memref ("index in dimension 0 is a multiple of 8" at K=1024).
         block = 128 if k % 256 else 256
         kernel = functools.partial(
             _nms_kernel_blocked, threshold=threshold,
             iou_mode=iou_mode, block=block)
-        scratch = pltpu.VMEM((k, k), jnp.bfloat16)
+        scratch = pltpu.VMEM((k, k), jnp.float32)
     out = pl.pallas_call(
         kernel,
         grid=(n,),
