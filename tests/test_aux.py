@@ -89,6 +89,13 @@ def test_assets():
     pairs = load_class_names("imagenet", with_synsets=True)
     assert pairs[0] == ("n02119789", "kit fox")
     assert all(s.startswith("n") and s[1:].isdigit() for s, _ in pairs)
+    # comma names in user files are NOT split (only nNNNNNNNN, lines are)
+    import tempfile, os
+    fd, path = tempfile.mkstemp(suffix=".txt")
+    os.write(fd, b"tv,monitor\nperson\n")
+    os.close(fd)
+    assert load_class_names(path) == ["tv,monitor", "person"]
+    os.unlink(path)
 
 
 def test_kmeans_jax_clusters():

@@ -110,3 +110,34 @@ def test_from_dir_ingests_without_network(cache, tmp_path):
     assert "asset installed" in msg
     assert (asset_dir / "imagenet_classnames.txt").read_text() \
         == "n001,thing\n"
+
+
+def test_from_dir_prefers_exact_manifest_name(cache, tmp_path):
+    # the csp entries share URL basenames with the darknet53 ones; an
+    # exact spec["file"] match must beat a URL-basename match
+    up = tmp_path / "up"
+    up.mkdir()
+    (up / "tf_keras_darknet53_448_include_top.h5").write_bytes(b"v3")
+    (up / "tf_keras_cspdarknet53_448_include_top.h5").write_bytes(b"v4")
+    src = fetch_weights._find_local(
+        str(up), "tf_keras_cspdarknet53_448_include_top.h5",
+        "https://x/tf_keras_darknet53_448_include_top.h5")
+    assert src.endswith("tf_keras_cspdarknet53_448_include_top.h5")
+    # fallback to the URL basename when the exact name is absent
+    src = fetch_weights._find_local(
+        str(up), "not_there.h5",
+        "https://x/tf_keras_darknet53_448_include_top.h5")
+    assert src.endswith("tf_keras_darknet53_448_include_top.h5")
+
+
+def test_force_offline_falls_back_to_cached_copy(cache, tmp_path):
+    spec = {"url": "https://unreachable.invalid/f.bin",
+            "file": "f.bin", "convert": None}
+    dest = cache / "f.bin"
+    dest.parent.mkdir(parents=True, exist_ok=True)
+    dest.write_bytes(b"cached-bytes")
+    lock = {}
+    msg = fetch_weights.fetch_one("f", spec, lock, force=True)
+    # refetch failed but the intact cached artifact is still processed
+    assert "raw artifact cached" in msg
+    assert len(lock["f"]["sha256"]) == 64

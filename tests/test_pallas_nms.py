@@ -123,3 +123,9 @@ def test_pallas_nms_large_k_requires_multiple_of_128():
     boxes = np.zeros((1, 640 + 64, 8), np.float32)
     with pytest.raises(ValueError, match="multiple of 128"):
         nms_pallas(boxes, interpret=True)
+
+
+def test_pallas_nms_compiled_k_cap():
+    boxes = np.zeros((1, 1152, 8), np.float32)
+    with pytest.raises(ValueError, match="K=1024"):
+        nms_pallas(boxes, interpret=False)

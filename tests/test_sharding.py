@@ -209,3 +209,28 @@ def test_evaluate_shards_like_fit():
     # the state was actually placed on the 8-device mesh
     leaf = jax.tree_util.tree_leaves(eng._state.params)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_fit_with_validation_remainder_mesh_switch():
+    """A validation remainder batch lands on a smaller mesh; the NEXT
+    epoch's train step must still see state and batch on the same
+    device set (regression: evaluate() used its own mesh tracker and
+    left the state on the validation mesh while fit's cached tracker
+    skipped re-placement)."""
+    from tf2_yolo_tpu.engine import Model
+
+    model = Model(TinyDetector(), (64, 64, 3))
+    loss_fn = wrap_yolo_loss_v2((2, 2), 2, 2, ANCHORS)
+    model.compile("sgd", loss=loss_fn, learning_rate=1e-2)
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(16, 64, 64, 3).astype(np.float32)
+    y = np.zeros((16, 2, 2, 7), np.float32)
+    y[:, 0, 0] = [0.5, 0.5, 0.3, 0.3, 1, 1, 0]
+    # 12 validation rows -> batches of 8 and 4: the 4-row remainder
+    # moves the state onto a 4-device mesh mid-epoch
+    history = model.fit(x, y, epochs=2, batch_size=8, shuffle=False,
+                        verbose=0, validation_data=(x[:12], y[:12]))
+    assert len(history["loss"]) == 2
+    assert np.isfinite(history["loss"]).all()
+    assert np.isfinite(history["val_loss"]).all()

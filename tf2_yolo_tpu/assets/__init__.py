@@ -13,9 +13,12 @@ def load_class_names(name="coco", with_synsets=False):
     yolov3/models/imagenet_classnames.txt), or a path to a
     newline-separated file.
 
-    Lines containing a comma are split as "synset,name" and the name
-    part is returned; pass ``with_synsets=True`` for (synset, name)
-    tuples instead."""
+    Lines starting with a WordNet synset id ("nNNNNNNNN,") are split
+    as "synset,name" and the name part is returned; pass
+    ``with_synsets=True`` for (synset, name) tuples. Other
+    comma-containing lines (user class names like "tv,monitor") are
+    returned whole."""
+    import re
     path = name
     if not os.path.isfile(path):
         path = os.path.join(_HERE, f"{name}_classnames.txt")
@@ -30,7 +33,7 @@ def load_class_names(name="coco", with_synsets=False):
             line = line.strip()
             if not line:
                 continue
-            if "," in line:
+            if re.match(r"n\d{8},", line):
                 synset, cname = line.split(",", 1)
                 out.append((synset, cname) if with_synsets else cname)
             else:

@@ -65,6 +65,8 @@ class Model:
         self._eval_step = None
         self._state = None
         self._predict_jit = None
+        self._mesh_cache = {}        # data-axis size -> (mesh, sharding)
+        self._state_mesh = None      # mesh self._state is placed on
 
     # ------------------------------------------------------------------
     @property
@@ -78,6 +80,7 @@ class Model:
         self.variables = dict(self.variables, params=new_params)
         if self._state is not None:
             self._state = self._state._replace(params=new_params)
+            self._state_mesh = None   # new params may live off-mesh
         self._predict_jit = None
 
     def set_variables(self, variables):
@@ -161,6 +164,23 @@ class Model:
             if self._tx is None:
                 raise ValueError("Call compile() before fit()")
             self._state = create_train_state(self.variables, self._tx)
+            self._state_mesh = None
+
+    def _shard_for(self, n_rows):
+        """Mesh + batch sharding for a batch of ``n_rows``, moving
+        ``self._state`` onto that mesh when it changes. ONE tracker is
+        shared by fit and evaluate — a validation remainder batch that
+        switches meshes must be seen by the next train step too, or
+        jit receives state and batch on different device sets."""
+        d = best_data_axis(n_rows)
+        if d not in self._mesh_cache:
+            mesh = make_mesh(d)
+            self._mesh_cache[d] = (mesh, batch_sharding(mesh))
+        mesh, shard = self._mesh_cache[d]
+        if self._state_mesh is not mesh:
+            self._state = jax.device_put(self._state, replicated(mesh))
+            self._state_mesh = mesh
+        return shard
 
     def _sync_variables(self):
         """Pull trained params/batch_stats back into self.variables."""
@@ -200,25 +220,7 @@ class Model:
         rng = np.random.RandomState(seed)
         # meshes are derived from the ACTUAL batch shape (a sequence's
         # batch size may differ from the batch_size argument), cached
-        # per data-axis size
-        meshes = {}
-
-        def shard_for(n_rows):
-            d = best_data_axis(n_rows)
-            if d not in meshes:
-                mesh = make_mesh(d)
-                meshes[d] = (mesh, batch_sharding(mesh))
-            return meshes[d]
-
-        state_mesh = [None]
-
-        def place_state(mesh):
-            # a remainder batch can switch meshes; the state must move
-            # with it or jit sees incompatible device sets
-            if state_mesh[0] is not mesh:
-                self._state = jax.device_put(self._state,
-                                             replicated(mesh))
-                state_mesh[0] = mesh
+        # per data-axis size in self._mesh_cache via _shard_for
 
         history = {"loss": []}
         profiling = False
@@ -240,8 +242,7 @@ class Model:
                 yb_t = tuple(jnp.asarray(v, jnp.float32) for v in yb) \
                     if isinstance(yb, (list, tuple)) \
                     else (jnp.asarray(yb, jnp.float32),)
-                mesh, shard = shard_for(xb.shape[0])
-                place_state(mesh)
+                shard = self._shard_for(xb.shape[0])
                 xb = jax.device_put(xb, shard)
                 yb_t = tuple(jax.device_put(v, shard) for v in yb_t)
                 self._state, logs = self._train_step(
@@ -288,16 +289,6 @@ class Model:
         'data' axis) so eval-side numerics match multi-chip training."""
         self._ensure_state()
         x = np.asarray(x)
-        meshes = {}
-        state_mesh = [None]
-
-        def shard_for(n_rows):
-            d = best_data_axis(n_rows)
-            if d not in meshes:
-                mesh = make_mesh(d)
-                meshes[d] = (mesh, batch_sharding(mesh))
-            return meshes[d]
-
         logs_sum, steps = {}, 0
         for xb, yb in self._batches(x, y, batch_size, False,
                                     np.random.RandomState(0)):
@@ -305,11 +296,7 @@ class Model:
             yb_t = tuple(jnp.asarray(v, jnp.float32) for v in yb) \
                 if isinstance(yb, (list, tuple)) \
                 else (jnp.asarray(yb, jnp.float32),)
-            mesh, shard = shard_for(xb.shape[0])
-            if state_mesh[0] is not mesh:
-                self._state = jax.device_put(self._state,
-                                             replicated(mesh))
-                state_mesh[0] = mesh
+            shard = self._shard_for(xb.shape[0])
             xb = jax.device_put(xb, shard)
             yb_t = tuple(jax.device_put(v, shard) for v in yb_t)
             logs = self._eval_step(self._state, xb, yb_t)

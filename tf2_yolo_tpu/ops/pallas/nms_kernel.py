@@ -156,6 +156,12 @@ def nms_pallas(boxes, threshold=0.45, iou_mode=1, interpret=False):
         raise ValueError(
             f"K={k}: the blocked large-K kernel needs K to be a "
             "multiple of 128 (pad the candidate set)")
+    if k > 1024 and not interpret:
+        raise ValueError(
+            f"K={k}: compiled support tops out at K=1024 — the (K, K) "
+            "f32 suppression scratch alone approaches the 16 MB "
+            "scoped VMEM limit beyond that. Use the XLA path "
+            "(use_pallas=False) for larger candidate sets.")
     if k <= 512:
         # one-shot lattice, f32 scratch
         kernel = functools.partial(

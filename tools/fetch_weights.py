@@ -127,27 +127,37 @@ def _download(url, dest, timeout=60):
     tmp = dest + ".part"
     req = urllib.request.Request(
         url, headers={"User-Agent": "tf2-yolo-tpu-fetch/1.0"})
-    with urllib.request.urlopen(req, timeout=timeout) as r, \
-            open(tmp, "wb") as f:
-        while True:
-            chunk = r.read(1 << 20)
-            if not chunk:
-                break
-            f.write(chunk)
-    os.replace(tmp, dest)
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r, \
+                open(tmp, "wb") as f:
+            while True:
+                chunk = r.read(1 << 20)
+                if not chunk:
+                    break
+                f.write(chunk)
+        os.replace(tmp, dest)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def _find_local(root, filename, url):
     """Locate a manifest artifact in a local directory tree: by the
-    manifest file name, or by the upstream file name from the URL
-    (a reference checkout stores imagenet_classnames.txt under
-    yolov{3,4}/models/)."""
-    basenames = {filename, url.rsplit("/", 1)[-1]}
+    manifest file name, falling back to the upstream file name from
+    the URL (a reference checkout stores imagenet_classnames.txt under
+    yolov{3,4}/models/). The exact manifest name always wins — several
+    release URLs share a basename (the csp_darknet53 sets are hosted
+    as 'tf_keras_darknet53_448_*.h5' like the plain darknet53 ones),
+    so a URL-basename match alone could ingest the wrong weights."""
+    url_name = url.rsplit("/", 1)[-1]
+    fallback = None
     for dirpath, _, files in os.walk(root):
-        for f in files:
-            if f in basenames:
-                return os.path.join(dirpath, f)
-    return None
+        if filename in files:
+            return os.path.join(dirpath, filename)
+        if fallback is None and url_name != filename \
+                and url_name in files:
+            fallback = os.path.join(dirpath, url_name)
+    return fallback
 
 
 def fetch_one(name, spec, lock, force=False, asset_dir=None,
@@ -167,7 +177,11 @@ def fetch_one(name, spec, lock, force=False, asset_dir=None,
             try:
                 _download(spec["url"], dest)
             except (urllib.error.URLError, OSError, ValueError) as e:
-                return f"offline/unreachable ({type(e).__name__}): skipped"
+                if not os.path.isfile(dest):
+                    return (f"offline/unreachable ({type(e).__name__}):"
+                            " skipped")
+                # --force refetch failed but an intact copy is cached:
+                # fall through to verify + convert it
 
     digest = _sha256(dest)
     expected = spec.get("sha256") or lock.get(name, {}).get("sha256")
