@@ -234,3 +234,31 @@ def test_fit_with_validation_remainder_mesh_switch():
     assert len(history["loss"]) == 2
     assert np.isfinite(history["loss"]).all()
     assert np.isfinite(history["val_loss"]).all()
+
+
+def test_spatial_partitioning_forward_and_train():
+    """SURVEY §2.3 large-input axis: image HEIGHT sharded over a
+    'space' mesh axis. GSPMD must insert conv halo exchanges so the
+    spatially-partitioned result equals the unsharded one — forward
+    (darknet asymmetric pads included) and a full train step (BN batch
+    statistics reduce across spatial shards too)."""
+    from tf2_yolo_tpu.parallel import (make_mesh_spatial,
+                                       spatial_sharding)
+
+    state, step, x, y = _setup(batch=4)
+    step = jax.jit(step)
+    ref_state, ref_logs = step(state, jnp.asarray(x), (jnp.asarray(y),))
+
+    mesh = make_mesh_spatial(n_data=2, n_space=4)
+    xs = jax.device_put(jnp.asarray(x), spatial_sharding(mesh))
+    ys = jax.device_put(jnp.asarray(y),
+                        jax.NamedSharding(mesh, jax.P("data")))
+    st = jax.device_put(state, replicated(mesh))
+    sh_state, sh_logs = step(st, xs, (ys,))
+
+    np.testing.assert_allclose(float(sh_logs["loss"]),
+                               float(ref_logs["loss"]), rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(sh_state.params),
+                    jax.tree_util.tree_leaves(ref_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)

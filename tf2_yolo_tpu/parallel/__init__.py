@@ -1,13 +1,15 @@
 """Parallelism: mesh construction, sharded train steps, checkpoints."""
 
-from .mesh import make_mesh, batch_sharding, replicated, best_data_axis
+from .mesh import (make_mesh, make_mesh_spatial, batch_sharding,
+                   spatial_sharding, replicated, best_data_axis)
 from .train import (TrainState, create_train_state, make_train_step,
                     make_eval_step, make_optimizer)
 from .checkpoint import (save_checkpoint, restore_checkpoint,
                          latest_checkpoint)
 
 __all__ = [
-    "make_mesh", "batch_sharding", "replicated", "best_data_axis",
+    "make_mesh", "make_mesh_spatial", "batch_sharding",
+    "spatial_sharding", "replicated", "best_data_axis",
     "TrainState", "create_train_state", "make_train_step",
     "make_eval_step", "make_optimizer",
     "save_checkpoint", "restore_checkpoint", "latest_checkpoint",

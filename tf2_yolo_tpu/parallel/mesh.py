@@ -41,6 +41,30 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def make_mesh_spatial(n_data: Optional[int] = None, n_space: int = 1,
+                      devices: Optional[Sequence] = None) -> Mesh:
+    """Create a ("data", "space") mesh for spatial partitioning.
+
+    For inputs too large to fit one chip's HBM per-sample (the
+    SURVEY §2.3 "large-input axis": high-resolution images rather
+    than sequence length), the image HEIGHT dim is sharded over the
+    ``space`` axis; XLA's SPMD partitioner inserts the halo exchanges
+    the convolutions need at shard boundaries automatically. The
+    reference can only lower the resolution (reshape_anchors,
+    yolov4/__init__.py:169-188) — it has no multi-device answer.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_space
+    use = np.array(devices[:n_data * n_space]).reshape(n_data, n_space)
+    return Mesh(use, ("data", "space"))
+
+
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard NHWC images: batch over ``data``, height over ``space``."""
+    return NamedSharding(mesh, P("data", "space"))
+
+
 def best_data_axis(batch_size: int, max_devices: Optional[int] = None
                    ) -> int:
     """Largest device count <= max_devices that divides batch_size
