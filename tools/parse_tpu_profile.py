@@ -47,18 +47,34 @@ def main(trace_dir):
                 by_name[name[:100]] += ev.duration_ps
                 total += ev.duration_ps
 
-        print(f"total attributed op-time {total / 1e12:.3f}s")
-        print("\nby op kind:")
-        for kind, dur in by_kind.most_common(15):
-            print(f"   {dur / total * 100:5.1f}%  {kind}")
-        print("\ntop named ops (excluding async copies):")
-        shown = 0
-        for name, dur in by_name.most_common(200):
-            if "copy-start" in name or "slice-start" in name:
+        def is_async(s):
+            # in-flight spans that OVERLAP compute (prefetch/DMA) and
+            # whole-step umbrella regions (jit_<fn>, bare step ids):
+            # counting either alongside ops double-books the timeline
+            return ("copy-start" in s or "slice-start" in s
+                    or "copy-done" in s or "slice-done" in s
+                    or s.startswith("jit_") or re.fullmatch(r"\d+", s))
+
+        sync_total = sum(d for k, d in by_kind.items()
+                         if not is_async(k))
+        async_total = total - sync_total
+        print(f"total attributed op-time {total / 1e12:.3f}s "
+              f"(compute-attributed {sync_total / 1e12:.3f}s, "
+              f"overlapped async copies {async_total / 1e12:.3f}s)")
+        print("\nby op kind (% of compute-attributed time, async "
+              "copies excluded):")
+        for kind, dur in by_kind.most_common(40):
+            if is_async(kind):
                 continue
-            print(f"   {dur / total * 100:5.2f}%  {name}")
+            print(f"   {dur / sync_total * 100:5.1f}%  {kind}")
+        print("\ntop named ops (async copies excluded):")
+        shown = 0
+        for name, dur in by_name.most_common(400):
+            if is_async(name):
+                continue
+            print(f"   {dur / sync_total * 100:5.2f}%  {name}")
             shown += 1
-            if shown >= 12:
+            if shown >= 15:
                 break
         return
     raise SystemExit("no /device:TPU:0 plane in trace")
