@@ -77,17 +77,17 @@ def main():
         np.asarray(keep)                      # host fetch = fence
         return BATCH * STEPS / (time.perf_counter() - t0)
 
-    variants = {"xla": rate(make_infer(False))}
+    infer_xla = make_infer(False)
+    variants = {"xla": rate(infer_xla)}
     if platform == "tpu":
         variants["pallas"] = rate(make_infer(True))
 
     # the deployment path: BN folded into conv kernels (export.py);
-    # same program, folded variables passed as arguments (embedding
-    # them as constants is for the serialized artifact — here it would
-    # just bloat the benchmark compile)
+    # the SAME jitted program (no recompile), folded variables passed
+    # as arguments (embedding them as constants is for the serialized
+    # artifact — here it would just bloat the benchmark compile)
     from tf2_yolo_tpu.export import fold_batch_norm
     folded = jax.device_put(fold_batch_norm(variables))
-    infer_xla = make_infer(False)
     variants["folded"] = rate(lambda v, x: infer_xla(folded, x))
 
     best = max(variants, key=variants.get)

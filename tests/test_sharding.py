@@ -251,8 +251,7 @@ def test_spatial_partitioning_forward_and_train():
 
     mesh = make_mesh_spatial(n_data=2, n_space=4)
     xs = jax.device_put(jnp.asarray(x), spatial_sharding(mesh))
-    ys = jax.device_put(jnp.asarray(y),
-                        jax.NamedSharding(mesh, jax.P("data")))
+    ys = jax.device_put(jnp.asarray(y), batch_sharding(mesh))
     st = jax.device_put(state, replicated(mesh))
     sh_state, sh_logs = step(st, xs, (ys,))
 

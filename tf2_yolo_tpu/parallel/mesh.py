@@ -25,11 +25,15 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
             parallelism; 1 for these CNN sizes).
         devices: explicit device list (default jax.devices()).
     """
+    return _mesh2(n_data, n_model, devices, ("data", "model"))
+
+
+def _mesh2(n_data, n_second, devices, axes) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // n_model
-    use = np.array(devices[:n_data * n_model]).reshape(n_data, n_model)
-    return Mesh(use, ("data", "model"))
+        n_data = len(devices) // n_second
+    use = np.array(devices[:n_data * n_second]).reshape(n_data, n_second)
+    return Mesh(use, axes)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -53,11 +57,7 @@ def make_mesh_spatial(n_data: Optional[int] = None, n_space: int = 1,
     reference can only lower the resolution (reshape_anchors,
     yolov4/__init__.py:169-188) — it has no multi-device answer.
     """
-    devices = list(devices if devices is not None else jax.devices())
-    if n_data is None:
-        n_data = len(devices) // n_space
-    use = np.array(devices[:n_data * n_space]).reshape(n_data, n_space)
-    return Mesh(use, ("data", "space"))
+    return _mesh2(n_data, n_space, devices, ("data", "space"))
 
 
 def spatial_sharding(mesh: Mesh) -> NamedSharding:

@@ -47,20 +47,31 @@ def main(trace_dir):
                 by_name[name[:100]] += ev.duration_ps
                 total += ev.duration_ps
 
-        def is_async(s):
-            # in-flight spans that OVERLAP compute (prefetch/DMA) and
-            # whole-step umbrella regions (jit_<fn>, bare step ids):
-            # counting either alongside ops double-books the timeline
+        def is_copy(s):
+            # in-flight DMA spans that OVERLAP compute (VMEM prefetch)
             return ("copy-start" in s or "slice-start" in s
-                    or "copy-done" in s or "slice-done" in s
-                    or s.startswith("jit_") or re.fullmatch(r"\d+", s))
+                    or "copy-done" in s or "slice-done" in s)
+
+        def is_umbrella(s):
+            # whole-execution region spans (jit_<fn>, bare step ids)
+            return bool(s.startswith("jit_") or re.fullmatch(r"\d+", s))
+
+        def is_async(s):
+            # either double-books the timeline next to op spans
+            return is_copy(s) or is_umbrella(s)
 
         sync_total = sum(d for k, d in by_kind.items()
                          if not is_async(k))
-        async_total = total - sync_total
+        copy_total = sum(d for k, d in by_kind.items() if is_copy(k))
         print(f"total attributed op-time {total / 1e12:.3f}s "
               f"(compute-attributed {sync_total / 1e12:.3f}s, "
-              f"overlapped async copies {async_total / 1e12:.3f}s)")
+              f"overlapped async copies {copy_total / 1e12:.3f}s, "
+              f"umbrella regions "
+              f"{(total - sync_total - copy_total) / 1e12:.3f}s)")
+        if sync_total == 0:
+            print("no compute-attributed op events in this trace "
+                  "(only umbrella/copy spans captured)")
+            return
         print("\nby op kind (% of compute-attributed time, async "
               "copies excluded):")
         for kind, dur in by_kind.most_common(40):
