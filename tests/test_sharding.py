@@ -261,3 +261,28 @@ def test_spatial_partitioning_forward_and_train():
                     jax.tree_util.tree_leaves(ref_state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-6)
+
+
+def test_ema_smoothed_updates():
+    """ema_decay chains optax.ema after the base optimizer: with plain
+    SGD (no momentum) the applied update must equal the debiased EMA
+    of the raw SGD updates, step by step."""
+    import optax
+    from tf2_yolo_tpu.parallel import make_optimizer
+
+    lr, decay = 0.1, 0.5
+    tx = make_optimizer(optax.sgd(lr), ema_decay=decay)
+    params = {"w": jnp.asarray(2.0)}
+    opt = tx.init(params)
+
+    ema_acc, applied = 0.0, []
+    for step in range(1, 4):
+        g = {"w": jnp.asarray(float(step))}       # raw grads 1, 2, 3
+        updates, opt = tx.update(g, opt, params)
+        params = optax.apply_updates(params, updates)
+        raw = -lr * float(step)                   # sgd update
+        ema_acc = decay * ema_acc + (1 - decay) * raw
+        debias = 1 - decay ** step                # optax.ema debiases
+        applied.append(ema_acc / debias)
+        np.testing.assert_allclose(float(updates["w"]),
+                                   applied[-1], rtol=1e-6)
