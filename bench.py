@@ -27,6 +27,12 @@ STEPS = int(os.environ.get("BENCH_STEPS", "10"))
 # the effective batch is BATCH*k (the large-batch path that fits HBM;
 # direct b256 OOMs even with per-stage remat: 16.5G needed vs 15.75G).
 ACCUM = int(os.environ.get("BENCH_ACCUM", "1"))
+# BENCH_XLA_OPTS: JSON dict of per-compile XLA compiler options.
+# These DO reach the remote TPU compiler (env XLA_FLAGS does not).
+# Measured: {"xla_tpu_scoped_vmem_limit_kib": "20480"} -> 446 img/s
+# (+1.2% over the 441 default) but the compile takes ~20 min, so it
+# stays opt-in rather than the bench default.
+XLA_OPTS = json.loads(os.environ.get("BENCH_XLA_OPTS", "{}"))
 
 
 def main():
@@ -75,6 +81,9 @@ def main():
     state = create_train_state(variables, tx)
     step = jax.jit(make_train_step(module.apply, tx, loss_fns),
                    donate_argnums=0)
+    if XLA_OPTS:
+        step = step.lower(state, x, ys).compile(
+            compiler_options=XLA_OPTS)
 
     for _ in range(WARMUP):
         state, logs = step(state, x, ys)
