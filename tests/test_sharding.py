@@ -286,3 +286,26 @@ def test_ema_smoothed_updates():
         applied.append(ema_acc / debias)
         np.testing.assert_allclose(float(updates["w"]),
                                    applied[-1], rtol=1e-6)
+
+
+def test_compile_xla_options_plumbed():
+    """xla_options reaches the jit: a benign option compiles and
+    trains; a bogus option surfaces an error naming the flag."""
+    import pytest
+    from tf2_yolo_tpu.engine import Model
+
+    model = Model(TinyDetectorNoBN(), (64, 64, 3))
+    loss_fn = wrap_yolo_loss_v2((2, 2), 2, 2, ANCHORS)
+    x = np.random.RandomState(0).rand(8, 64, 64, 3).astype(np.float32)
+    y = np.zeros((8, 2, 2, 7), np.float32)
+    y[:, 0, 0] = [0.5, 0.5, 0.3, 0.3, 1, 1, 0]
+
+    model.compile("sgd", loss=loss_fn,
+                  xla_options={"xla_backend_optimization_level": "2"})
+    hist = model.fit(x, y, epochs=1, batch_size=8, verbose=0)
+    assert np.isfinite(hist["loss"][0])
+
+    model.compile("sgd", loss=loss_fn,
+                  xla_options={"xla_not_a_real_flag": "1"})
+    with pytest.raises(Exception, match="xla_not_a_real_flag"):
+        model.fit(x, y, epochs=1, batch_size=8, verbose=0)

@@ -103,7 +103,7 @@ class Model:
     # ------------------------------------------------------------------
     def compile(self, optimizer="adam", loss=None, metrics=None,
                 learning_rate=1e-4, frozen=None,
-                accumulate_steps=1, ema_decay=None):
+                accumulate_steps=1, ema_decay=None, xla_options=None):
         """Configure training.
 
         Args:
@@ -116,6 +116,11 @@ class Model:
             accumulate_steps: gradient accumulation factor (>1 wraps
                 the optimizer in optax.MultiSteps).
             ema_decay: optional EMA smoothing of parameter updates.
+            xla_options: per-compile XLA compiler options dict (e.g.
+                {"xla_tpu_scoped_vmem_limit_kib": "24576"} — measured
+                +1.5% train throughput on v5e, BASELINE.md; compiles
+                slower). These reach the TPU compiler where env
+                XLA_FLAGS does not.
         """
         if loss is None:
             raise ValueError("compile() requires a loss")
@@ -153,9 +158,12 @@ class Model:
 
         step = make_train_step(self.module.apply, self._tx, loss_fns,
                                metric_fns, metric_names)
-        self._train_step = jax.jit(step, donate_argnums=0)
-        self._eval_step = jax.jit(make_eval_step(
-            self.module.apply, loss_fns, metric_fns, metric_names))
+        self._train_step = jax.jit(step, donate_argnums=0,
+                                   compiler_options=xla_options)
+        self._eval_step = jax.jit(
+            make_eval_step(self.module.apply, loss_fns, metric_fns,
+                           metric_names),
+            compiler_options=xla_options)
         self._state = None        # reset optimizer state
 
     # ------------------------------------------------------------------
