@@ -123,3 +123,41 @@ def test_invalid_backbone_rejected_at_facade():
     y4 = yolov4.Yolo(input_shape=(96, 96, 3), class_names=["a"])
     with pytest.raises(ValueError, match="Invalid backbone"):
         y4.create_model(anchors=anchors9, backbone="cspdarknet")
+
+
+def test_fit_callbacks_and_early_stopping():
+    """keras-style callbacks: hooks fire each epoch with host logs, and
+    EarlyStopping halts fit via model.stop_training."""
+    import numpy as np
+    from tf2_yolo_tpu import EarlyStopping
+    from tf2_yolo_tpu.engine import Model
+    from tf2_yolo_tpu.models import YoloV2
+    from tf2_yolo_tpu.ops import wrap_yolo_loss_v2
+
+    anchors = [[0.3, 0.3]]
+    model = Model(YoloV2(anchors=anchors, class_num=1), (64, 64, 3))
+    model.compile("sgd", loss=wrap_yolo_loss_v2((2, 2), 1, 1, anchors),
+                  learning_rate=0.0)       # lr 0: loss never improves
+    x = np.random.RandomState(0).rand(4, 64, 64, 3).astype(np.float32)
+    y = np.zeros((4, 2, 2, 6), np.float32)
+    y[:, 0, 0] = [0.5, 0.5, 0.3, 0.3, 1, 1]
+
+    seen = []
+
+    class Recorder:
+        def on_epoch_begin(self, epoch, model):
+            seen.append(("begin", epoch))
+
+        def on_epoch_end(self, epoch, logs, model):
+            seen.append(("end", epoch, "loss" in logs))
+
+    hist = model.fit(x, y, epochs=10, batch_size=4, verbose=0,
+                     callbacks=[Recorder(),
+                                EarlyStopping(patience=2,
+                                              min_delta=1e-3)])
+    # zero-lr loss is flat (to ~1e-6 noise, below min_delta): first
+    # epoch sets best, then 2 no-improvement epochs exhaust patience
+    # -> exactly 3 epochs ran
+    assert len(hist["loss"]) == 3
+    assert seen[0] == ("begin", 0) and seen[1] == ("end", 0, True)
+    assert seen[-1] == ("end", 2, True)

@@ -31,6 +31,36 @@ def _metric_name(fn, prefix=""):
     return f"{prefix}{name}"
 
 
+class EarlyStopping:
+    """Stop training when a monitored quantity stops improving
+    (tf.keras-style; pass via ``Model.fit(callbacks=[...])``).
+
+    Args:
+        monitor: history key to watch ("loss", "val_loss", ...).
+        patience: epochs without improvement before stopping.
+        min_delta: minimum decrease counting as improvement.
+    """
+
+    def __init__(self, monitor="loss", patience=3, min_delta=0.0):
+        self.monitor = monitor
+        self.patience = patience
+        self.min_delta = min_delta
+        self.best = float("inf")
+        self.wait = 0
+
+    def on_epoch_end(self, epoch, logs, model):
+        value = logs.get(self.monitor)
+        if value is None:
+            return
+        if value < self.best - self.min_delta:
+            self.best = value
+            self.wait = 0
+        else:
+            self.wait += 1
+            if self.wait >= self.patience:
+                model.stop_training = True
+
+
 class Model:
     """A trainable model: flax module + variables + compile/fit/predict.
 
@@ -67,6 +97,7 @@ class Model:
         self._predict_jit = None
         self._mesh_cache = {}        # data-axis size -> (mesh, sharding)
         self._state_mesh = None      # mesh self._state is placed on
+        self.stop_training = False   # callbacks set True to end fit
 
     # ------------------------------------------------------------------
     @property
@@ -213,7 +244,7 @@ class Model:
     def fit(self, x, y=None, epochs=1, batch_size=20, shuffle=True,
             seed=None, verbose=1, validation_data=None,
             profile_dir=None, checkpoint_dir=None,
-            checkpoint_every=None):
+            checkpoint_every=None, callbacks=None):
         """Train. ``x`` is an ndarray (with ``y`` labels, list for
         multi-output models) or a sequence yielding (img, labels).
 
@@ -223,8 +254,16 @@ class Model:
                 Perfetto) — the SURVEY §5 tracing hook.
             checkpoint_dir/checkpoint_every: save full training state
                 (params + optimizer + step) every N epochs via Orbax.
+            callbacks: keras-style callback objects; recognized hooks
+                are ``on_epoch_begin(epoch, model)`` and
+                ``on_epoch_end(epoch, logs, model)`` (both optional).
+                Setting ``model.stop_training = True`` from a callback
+                ends training after the current epoch (early stopping,
+                as in tf.keras).
         """
         self._ensure_state()
+        self.stop_training = False
+        callbacks = list(callbacks or [])
         rng = np.random.RandomState(seed)
         # meshes are derived from the ACTUAL batch shape (a sequence's
         # batch size may differ from the batch_size argument), cached
@@ -237,6 +276,9 @@ class Model:
             profiling = True
         for epoch in range(epochs):
             t0 = time.time()
+            for cb in callbacks:
+                if hasattr(cb, "on_epoch_begin"):
+                    cb.on_epoch_begin(epoch, self)
             logs_acc = []       # device scalars; host sync at epoch end
             if hasattr(x, "__getitem__") and y is None \
                     and not isinstance(x, np.ndarray):
@@ -284,6 +326,11 @@ class Model:
                     and (epoch + 1) % checkpoint_every == 0):
                 from .parallel.checkpoint import save_checkpoint
                 save_checkpoint(checkpoint_dir, self._state)
+            for cb in callbacks:
+                if hasattr(cb, "on_epoch_end"):
+                    cb.on_epoch_end(epoch, dict(means), self)
+            if self.stop_training:
+                break
 
         if profiling:
             jax.profiler.stop_trace()
