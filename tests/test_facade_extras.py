@@ -161,3 +161,28 @@ def test_fit_callbacks_and_early_stopping():
     assert len(hist["loss"]) == 3
     assert seen[0] == ("begin", 0) and seen[1] == ("end", 0, True)
     assert seen[-1] == ("end", 2, True)
+
+
+def test_model_checkpoint_callback(tmp_path):
+    import numpy as np
+    from tf2_yolo_tpu import ModelCheckpoint
+    from tf2_yolo_tpu.engine import Model
+    from tf2_yolo_tpu.models import YoloV2
+    from tf2_yolo_tpu.ops import wrap_yolo_loss_v2
+
+    anchors = [[0.3, 0.3]]
+    model = Model(YoloV2(anchors=anchors, class_num=1), (64, 64, 3))
+    model.compile("adam", loss=wrap_yolo_loss_v2((2, 2), 1, 1, anchors),
+                  learning_rate=1e-3)
+    x = np.random.RandomState(0).rand(4, 64, 64, 3).astype(np.float32)
+    y = np.zeros((4, 2, 2, 6), np.float32)
+    y[:, 0, 0] = [0.5, 0.5, 0.3, 0.3, 1, 1]
+
+    path = str(tmp_path / "best_{epoch}.msgpack")
+    model.fit(x, y, epochs=2, batch_size=4, verbose=0,
+              callbacks=[ModelCheckpoint(path, save_best_only=True)])
+    import os
+    saved = sorted(os.listdir(tmp_path))
+    assert saved                             # at least epoch 1 saved
+    # the saved file round-trips through load_weights
+    model.load_weights(str(tmp_path / saved[-1]))

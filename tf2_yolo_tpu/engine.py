@@ -61,6 +61,32 @@ class EarlyStopping:
                 model.stop_training = True
 
 
+class ModelCheckpoint:
+    """Save weights each epoch, optionally only on improvement
+    (tf.keras ModelCheckpoint's save_best_only semantics; weights go
+    through ``Model.save_weights`` — flax msgpack).
+
+    Args:
+        path: weights file path (may contain ``{epoch}``).
+        monitor: history key to watch.
+        save_best_only: if True, save only when ``monitor`` improves.
+    """
+
+    def __init__(self, path, monitor="loss", save_best_only=True):
+        self.path = str(path)
+        self.monitor = monitor
+        self.save_best_only = save_best_only
+        self.best = float("inf")
+
+    def on_epoch_end(self, epoch, logs, model):
+        if self.save_best_only:
+            value = logs.get(self.monitor)
+            if value is None or value >= self.best:
+                return
+            self.best = value
+        model.save_weights(self.path.format(epoch=epoch + 1))
+
+
 class Model:
     """A trainable model: flax module + variables + compile/fit/predict.
 
