@@ -43,8 +43,13 @@ def wrap_obj_acc(grid_shape, bbox_num, class_num, version=2):
             t, p = _split_v2(y_true, y_pred, grid_shape, bbox_num, class_num)
         c_true = t[..., 4]                                   # N,S,S,1
         c_pred = jnp.max(p[..., 4], axis=-1, keepdims=True)  # N,S,S,1
-        # keras binary_accuracy: mean(true == round(pred)) at 0.5.
-        match = (c_true == jnp.round(c_pred)).astype(jnp.float32)
+        # keras binary_accuracy thresholds the prediction at > 0.5
+        # (cast(pred > 0.5)), NOT round() — they differ at exactly 0.5
+        # (both 0) only by accident and genuinely at conf > 1.5, where
+        # round gives 2 != 1 (reference yolov2/metrics/yolo_metrics.py
+        # :24 via tf.keras.metrics.binary_accuracy).
+        thresholded = (c_pred > 0.5).astype(jnp.float32)
+        match = (c_true == thresholded).astype(jnp.float32)
         return jnp.mean(match)
 
     return obj_acc
