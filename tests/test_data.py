@@ -240,3 +240,70 @@ def test_mosaic_via_sequence_sample_raw(tmp_path):
     imgs, labels = seq[0]
     assert imgs.shape == (4, 96, 96, 3)
     assert (labels[..., 4] == 1).any()
+
+
+def test_imgaug_augmenter_adapted(tmp_path):
+    """A reference-style imgaug augmenter object (duck-typed stub:
+    to_deterministic + called as aug(image=..., bounding_boxes=...))
+    passes through YoloDataSequence unmodified — the adapter converts
+    to/from imgaug bounding boxes (reference utils/tools.py:218-228).
+    Uses a stub imgaug package so the test runs without the dep."""
+    import sys
+    import types
+
+    bbs_mod = types.ModuleType("imgaug.augmentables.bbs")
+
+    class BoundingBox:
+        def __init__(self, x1, y1, x2, y2):
+            self.x1, self.y1, self.x2, self.y2 = x1, y1, x2, y2
+
+    class BoundingBoxesOnImage:
+        def __init__(self, bounding_boxes, shape):
+            self.bounding_boxes = list(bounding_boxes)
+            self.shape = shape
+
+    bbs_mod.BoundingBox = BoundingBox
+    bbs_mod.BoundingBoxesOnImage = BoundingBoxesOnImage
+    pkg = types.ModuleType("imgaug")
+    aug_pkg = types.ModuleType("imgaug.augmentables")
+    sys.modules["imgaug"] = pkg
+    sys.modules["imgaug.augmentables"] = aug_pkg
+    sys.modules["imgaug.augmentables.bbs"] = bbs_mod
+
+    class StubSequential:
+        """imgaug-interface horizontal flip."""
+
+        def to_deterministic(self):
+            return self
+
+        def __call__(self, image, bounding_boxes):
+            w = image.shape[1]
+            flipped = [BoundingBox(w - bb.x2, bb.y1, w - bb.x1, bb.y2)
+                       for bb in bounding_boxes.bounding_boxes]
+            return image[:, ::-1], BoundingBoxesOnImage(
+                flipped, bounding_boxes.shape)
+
+    try:
+        img_dir, lab_dir = make_dataset(str(tmp_path), n_images=3)
+        kw = dict(img_path=img_dir, label_path=lab_dir, batch_size=3,
+                  size=(96, 96), grid_shape=(6, 6),
+                  class_names=["square", "bar"], shuffle=False,
+                  encoding="utf-8")
+        seq = YoloDataSequence(augmenter=StubSequential(), **kw)
+        ours = YoloDataSequence(
+            augmenter=augment.Sequential(
+                [augment.RandomFlipLR(prob=1.0)], seed=0), **kw)
+        img_a, lab_a = seq[0]
+        img_o, lab_o = ours[0]
+        np.testing.assert_allclose(img_a, img_o)
+        np.testing.assert_allclose(lab_a, lab_o)
+        # late assignment adapts too (the documented seq.augmenter= path)
+        seq2 = YoloDataSequence(**kw)
+        seq2.augmenter = StubSequential()
+        img_b, lab_b = seq2[0]
+        np.testing.assert_allclose(img_b, img_a)
+        np.testing.assert_allclose(lab_b, lab_a)
+    finally:
+        for name in ("imgaug", "imgaug.augmentables",
+                     "imgaug.augmentables.bbs"):
+            sys.modules.pop(name, None)

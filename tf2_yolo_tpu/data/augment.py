@@ -219,3 +219,59 @@ class Mosaic:
         keep = ((out[:, 2] - out[:, 0]) > 1) & \
                ((out[:, 3] - out[:, 1]) > 1)
         return canvas, out[keep]
+
+
+class ImgaugAdapter:
+    """Adapts an imgaug augmenter to this framework's augmenter hook.
+
+    The reference's ``augmenter`` kwarg takes an
+    ``imgaug.augmenters.Sequential`` and calls it as
+    ``augmenter(image=img, bounding_boxes=BoundingBoxesOnImage)``
+    (reference utils/tools.py:98, :218-228); this framework's hook is
+    ``augmenter(image, tagged[N,5]) -> (image, tagged)``. The adapter
+    converts the tagged xyxy+label rows to imgaug bounding boxes,
+    invokes the imgaug object with the reference's calling convention,
+    and re-pairs class labels by index (the same order-preserving
+    assumption the reference makes at utils/tools.py:190-209).
+
+    imgaug itself is imported lazily — only needed if a user actually
+    passes an imgaug augmenter.
+    """
+
+    def __init__(self, aug):
+        self.aug = aug
+
+    def __call__(self, image, tagged):
+        try:
+            from imgaug.augmentables.bbs import (BoundingBox,
+                                                 BoundingBoxesOnImage)
+        except ImportError as e:
+            raise ImportError(
+                "an imgaug augmenter was passed but the imgaug package "
+                "is not installed; either install imgaug or pass a "
+                "plain (image, boxes) -> (image, boxes) callable "
+                "(see tf2_yolo_tpu.data.augment)") from e
+        tagged = np.asarray(tagged, float)
+        bbs = BoundingBoxesOnImage(
+            [BoundingBox(x1=b[0], y1=b[1], x2=b[2], y2=b[3])
+             for b in tagged],
+            shape=image.shape)
+        img_aug, bbs_aug = self.aug(image=image, bounding_boxes=bbs)
+        boxes = getattr(bbs_aug, "bounding_boxes", bbs_aug)
+        if not len(boxes):
+            return img_aug, np.zeros((0, 5))
+        out = np.array(
+            [[bb.x1, bb.y1, bb.x2, bb.y2, lab]
+             for bb, lab in zip(boxes, tagged[:, 4])], float)
+        return img_aug, out
+
+
+def adapt_augmenter(aug):
+    """Wrap imgaug-style augmenters transparently; pass through
+    anything already satisfying the (image, tagged) contract."""
+    if aug is None or isinstance(aug, ImgaugAdapter):
+        return aug
+    if hasattr(aug, "augment_bounding_boxes") \
+            or hasattr(aug, "to_deterministic"):
+        return ImgaugAdapter(aug)
+    return aug

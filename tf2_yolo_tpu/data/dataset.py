@@ -135,6 +135,18 @@ class YoloDataSequence:
         self.path_list = names
 
     # ------------------------------------------------------------------
+    @property
+    def augmenter(self):
+        return self._augmenter
+
+    @augmenter.setter
+    def augmenter(self, aug):
+        # reference users pass imgaug Sequential objects directly
+        # (utils/tools.py:98, adapter at :218-228); duck-type-wrap
+        # them into the (image, tagged) contract transparently
+        from .augment import adapt_augmenter
+        self._augmenter = adapt_augmenter(aug)
+
     def __len__(self):
         return ceil(len(self.path_list) / self.batch_size)
 

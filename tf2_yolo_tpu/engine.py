@@ -31,28 +31,53 @@ def _metric_name(fn, prefix=""):
     return f"{prefix}{name}"
 
 
+def _resolve_mode(mode, monitor):
+    """'min'/'max', or 'auto': maximize for accuracy-like monitors
+    (acc/recall/iou/map/precision/f1 in the name), minimize otherwise —
+    tf.keras's inference rule."""
+    if mode in ("min", "max"):
+        return mode
+    if mode != "auto":
+        raise ValueError(f"mode must be 'min'/'max'/'auto', got {mode!r}")
+    name = monitor.lower()
+    if any(t in name for t in ("acc", "recall", "iou", "map",
+                               "precision", "f1", "auc")):
+        return "max"
+    return "min"
+
+
 class EarlyStopping:
     """Stop training when a monitored quantity stops improving
     (tf.keras-style; pass via ``Model.fit(callbacks=[...])``).
 
     Args:
-        monitor: history key to watch ("loss", "val_loss", ...).
+        monitor: history key to watch ("loss", "val_loss",
+            "val_out1_recall", ...).
         patience: epochs without improvement before stopping.
-        min_delta: minimum decrease counting as improvement.
+        min_delta: minimum change counting as improvement.
+        mode: "min", "max", or "auto" (inferred from the monitor name,
+            e.g. recall/iou/acc monitors maximize).
     """
 
-    def __init__(self, monitor="loss", patience=3, min_delta=0.0):
+    def __init__(self, monitor="loss", patience=3, min_delta=0.0,
+                 mode="auto"):
         self.monitor = monitor
         self.patience = patience
-        self.min_delta = min_delta
-        self.best = float("inf")
+        self.min_delta = abs(min_delta)
+        self.mode = _resolve_mode(mode, monitor)
+        self.best = float("inf") if self.mode == "min" else float("-inf")
         self.wait = 0
+
+    def _improved(self, value):
+        if self.mode == "min":
+            return value < self.best - self.min_delta
+        return value > self.best + self.min_delta
 
     def on_epoch_end(self, epoch, logs, model):
         value = logs.get(self.monitor)
         if value is None:
             return
-        if value < self.best - self.min_delta:
+        if self._improved(value):
             self.best = value
             self.wait = 0
         else:
@@ -70,18 +95,24 @@ class ModelCheckpoint:
         path: weights file path (may contain ``{epoch}``).
         monitor: history key to watch.
         save_best_only: if True, save only when ``monitor`` improves.
+        mode: "min", "max", or "auto" (see EarlyStopping).
     """
 
-    def __init__(self, path, monitor="loss", save_best_only=True):
+    def __init__(self, path, monitor="loss", save_best_only=True,
+                 mode="auto"):
         self.path = str(path)
         self.monitor = monitor
         self.save_best_only = save_best_only
-        self.best = float("inf")
+        self.mode = _resolve_mode(mode, monitor)
+        self.best = float("inf") if self.mode == "min" else float("-inf")
 
     def on_epoch_end(self, epoch, logs, model):
         if self.save_best_only:
             value = logs.get(self.monitor)
-            if value is None or value >= self.best:
+            better = (value is not None
+                      and (value < self.best if self.mode == "min"
+                           else value > self.best))
+            if not better:
                 return
             self.best = value
         model.save_weights(self.path.format(epoch=epoch + 1))
@@ -281,11 +312,19 @@ class Model:
             checkpoint_dir/checkpoint_every: save full training state
                 (params + optimizer + step) every N epochs via Orbax.
             callbacks: keras-style callback objects; recognized hooks
-                are ``on_epoch_begin(epoch, model)`` and
-                ``on_epoch_end(epoch, logs, model)`` (both optional).
-                Setting ``model.stop_training = True`` from a callback
-                ends training after the current epoch (early stopping,
-                as in tf.keras).
+                are ``on_epoch_begin(epoch, model)``,
+                ``on_epoch_end(epoch, logs, model)`` and
+                ``on_train_batch_end(batch, logs, model)`` (all
+                optional). Batch-end ``logs`` values are device
+                scalars — converting them to float forces a host sync
+                per step, so only do that when you need it. Setting
+                ``model.stop_training = True`` from a callback ends
+                training after the current epoch (early stopping, as
+                in tf.keras).
+            validation_data: an ``(x, y)`` ndarray pair or a sequence
+                yielding ``(img, labels)`` batches (e.g. from
+                ``read_file_to_sequence``); evaluated each epoch into
+                ``val_*`` history keys.
         """
         self._ensure_state()
         self.stop_training = False
@@ -313,7 +352,7 @@ class Model:
             else:
                 iterator = self._batches(np.asarray(x), y, batch_size,
                                          shuffle, rng)
-            for xb, yb in iterator:
+            for batch_i, (xb, yb) in enumerate(iterator):
                 xb = jnp.asarray(xb, jnp.float32)
                 yb_t = tuple(jnp.asarray(v, jnp.float32) for v in yb) \
                     if isinstance(yb, (list, tuple)) \
@@ -324,6 +363,9 @@ class Model:
                 self._state, logs = self._train_step(
                     self._state, xb, yb_t)
                 logs_acc.append(logs)
+                for cb in callbacks:
+                    if hasattr(cb, "on_train_batch_end"):
+                        cb.on_train_batch_end(batch_i, logs, self)
 
             steps = len(logs_acc)
             logs_sum = {}
@@ -332,9 +374,14 @@ class Model:
                     logs_sum[k] = logs_sum.get(k, 0.0) + float(v)
             means = {k: v / max(steps, 1) for k, v in logs_sum.items()}
             if validation_data is not None:
-                val_logs = self.evaluate(*validation_data,
-                                         batch_size=batch_size,
-                                         verbose=0)
+                if isinstance(validation_data, (tuple, list)):
+                    val_logs = self.evaluate(*validation_data,
+                                             batch_size=batch_size,
+                                             verbose=0)
+                else:                   # a sequence of (img, labels)
+                    val_logs = self.evaluate(validation_data,
+                                             batch_size=batch_size,
+                                             verbose=0)
                 means.update({f"val_{k}": v for k, v in val_logs.items()})
             for k, v in means.items():
                 history.setdefault(k, []).append(v)
@@ -364,15 +411,23 @@ class Model:
         return history
 
     # ------------------------------------------------------------------
-    def evaluate(self, x, y, batch_size=20, verbose=1):
+    def evaluate(self, x, y=None, batch_size=20, verbose=1):
         """Eval-mode loss/metrics, batch sharded over the data mesh
         exactly like fit() (state replicated, inputs split on the
-        'data' axis) so eval-side numerics match multi-chip training."""
+        'data' axis) so eval-side numerics match multi-chip training.
+        ``x`` is an ndarray with ``y`` labels, or a sequence yielding
+        (img, labels) batches with ``y=None``."""
         self._ensure_state()
-        x = np.asarray(x)
+        if hasattr(x, "__getitem__") and y is None \
+                and not isinstance(x, np.ndarray):
+            iterator = (x.as_iterator() if hasattr(x, "as_iterator")
+                        else (x[i] for i in range(len(x))))
+        else:
+            x = np.asarray(x)
+            iterator = self._batches(x, y, batch_size, False,
+                                     np.random.RandomState(0))
         logs_sum, steps = {}, 0
-        for xb, yb in self._batches(x, y, batch_size, False,
-                                    np.random.RandomState(0)):
+        for xb, yb in iterator:
             xb = jnp.asarray(xb, jnp.float32)
             yb_t = tuple(jnp.asarray(v, jnp.float32) for v in yb) \
                 if isinstance(yb, (list, tuple)) \

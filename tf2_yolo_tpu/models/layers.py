@@ -20,6 +20,25 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.pallas.conv_bn_kernel import conv1x1_stats, conv3x3_stats
+
+# Default for ConvBN.fused (see set_fused_convbn). Module-global so the
+# whole model zoo switches without threading a flag through every
+# constructor; read at trace time, so set it BEFORE building/jitting.
+FUSED_CONVBN = False
+
+
+def set_fused_convbn(on):
+    """Enable/disable the fused Pallas conv+BN-statistics path globally
+    (per-module override: ``ConvBN(fused=...)``). The fused path removes
+    the separate BN train-statistics read pass (the measured 441->500
+    img/s gap, BASELINE.md ablations). Single-device only for now — the
+    pallas_call is not partitionable under pjit meshes; ``bn_axis_name``
+    stat sync works under shard_map/pmap axes.
+    """
+    global FUSED_CONVBN
+    FUSED_CONVBN = bool(on)
+
 
 def mish(x):
     """Mish activation x * tanh(softplus(x))
@@ -56,12 +75,55 @@ _ACTS = {
 _ACTS_EVAL = dict(_ACTS, mish=mish_eval)
 
 
+class _ConvKernel(nn.Module):
+    """Parameter-only stand-in for nn.Conv — identical names/shapes
+    (kernel (kh,kw,ci,co), bias (co,)) so fused and unfused ConvBN
+    share one checkpoint tree."""
+    features: int
+    kernel: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self, ci):
+        k = self.param("kernel", nn.initializers.he_normal(),
+                       (self.kernel, self.kernel, ci, self.features),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (self.features,), jnp.float32) \
+            if self.use_bias else None
+        return k, b
+
+
+class _BNState(nn.Module):
+    """Parameter/variable-only stand-in for nn.BatchNorm (same tree:
+    params scale/bias, batch_stats mean/var)."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones_init(),
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32))
+        return scale, bias, ra_mean, ra_var
+
+
 class ConvBN(nn.Module):
     """Conv2D (+ optional BatchNorm) + activation.
 
     ``darknet_pad=True`` reproduces the Darknet stride-2 padding
     (asymmetric top/left + VALID); otherwise keras-style SAME.
     ``use_bn=False`` gives a plain biased conv (used by heads).
+    ``fused`` (default: the module-global set by set_fused_convbn)
+    routes supported shapes through the Pallas conv+BN-statistics
+    kernels, eliminating the separate statistics read pass in
+    training; parameters are tree-identical either way.
     """
     features: int
     kernel: int = 3
@@ -71,10 +133,64 @@ class ConvBN(nn.Module):
     use_bias: Optional[bool] = None       # default: not use_bn
     darknet_pad: bool = True
     bn_axis_name: Optional[str] = None
+    fused: Optional[bool] = None
     dtype: Any = jnp.float32
+
+    def _fusable(self, x):
+        fused = FUSED_CONVBN if self.fused is None else self.fused
+        if not (fused and self.use_bn):
+            return False
+        if self.kernel == 1 and self.strides == 1:
+            return True
+        if self.kernel == 3 and x.shape[1] >= 5 and x.shape[2] >= 5:
+            if self.strides == 1:
+                return True
+            if self.strides == 2 and self.darknet_pad \
+                    and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+                return True
+        return False
+
+    def _fused_call(self, x, train):
+        use_bias = (not self.use_bn) if self.use_bias is None \
+            else self.use_bias
+        k, b = _ConvKernel(self.features, self.kernel, use_bias,
+                           name="conv")(x.shape[-1])
+        scale, bias, ra_mean, ra_var = _BNState(
+            self.features, name="bn")()
+        dt = self.dtype
+        xc = x.astype(dt)
+        bc = (b if b is not None
+              else jnp.zeros((self.features,), jnp.float32)).astype(dt)
+        if self.kernel == 1:
+            y, s1, s2 = conv1x1_stats(xc, k.astype(dt), bc)
+        else:
+            y, s1, s2 = conv3x3_stats(xc, k.astype(dt), bc,
+                                      self.strides)
+        if train:
+            m = float(y.shape[0] * y.shape[1] * y.shape[2])
+            if self.bn_axis_name is not None:
+                s1 = jax.lax.psum(s1, self.bn_axis_name)
+                s2 = jax.lax.psum(s2, self.bn_axis_name)
+                m = m * jax.lax.axis_size(self.bn_axis_name)
+            mean = s1 / m
+            var = s2 / m - mean * mean
+            if not self.is_initializing():
+                ra_mean.value = (0.99 * ra_mean.value
+                                 + 0.01 * jax.lax.stop_gradient(mean))
+                ra_var.value = (0.99 * ra_var.value
+                                + 0.01 * jax.lax.stop_gradient(var))
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        out = ((y - mean.astype(dt))
+               * jax.lax.rsqrt(var.astype(dt) + jnp.asarray(1e-3, dt))
+               * scale.astype(dt) + bias.astype(dt))
+        return (_ACTS if train else _ACTS_EVAL)[self.act](out)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self._fusable(x):
+            return self._fused_call(x, train)
+
         use_bias = (not self.use_bn) if self.use_bias is None \
             else self.use_bias
 

@@ -1,0 +1,393 @@
+"""Fused convolution + BatchNorm-statistics Pallas TPU kernels.
+
+The round-2 step ablations (BASELINE.md) showed BN *training*
+statistics are the entire 441->500 img/s gap for YOLOv4@416/b128:
+computing E[y], E[y^2] of every conv output costs one extra read pass
+over each activation (~20 GB/step at b128) because XLA cannot fuse a
+reduction into a convolution's epilogue. These kernels compute the
+conv AND accumulate the per-channel statistic sums in-register while
+the output tile is still in VMEM, so the statistics cost zero extra
+HBM traffic.
+
+The reference has no counterpart (it delegates conv+BN to TF's
+prebuilt kernels — SURVEY.md §2.2); the design target is the
+bandwidth floor identified by this repo's own ablations.
+
+Ops (all `jax.custom_vjp`; backward = standard XLA conv backward on
+``dy_eff = dy + ds1 + 2*y*ds2`` — identical pass structure to the
+unfused BN backward, so the backward cost is unchanged):
+
+- ``conv1x1_stats(x, w, b)``: 1x1 stride-1 conv (a row-tiled matmul).
+- ``conv3x3_stats(x, w, b, stride=1)``: 3x3 conv; stride 1 keras-SAME
+  or stride 2 with the Darknet top/left pad + VALID semantics
+  (reference yolov3/models/backbone.py:58-63).
+
+Inputs are NHWC, any float dtype (bf16 on TPU); statistics are f32 of
+the *output-dtype-rounded* values, matching flax.linen.BatchNorm's
+f32-stats-of-bf16-input behavior (use_fast_variance E[y^2]-E[y]^2).
+
+On CPU (no Mosaic backend) the kernels run in interpreter mode so the
+same code path is unit-testable without a TPU.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret():
+    return jax.default_backend() != "tpu"
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# 1x1 convolution (row-tiled matmul) + statistics epilogue
+# ---------------------------------------------------------------------------
+
+def _matmul_stats_kernel(x_ref, w_ref, b_ref, y_ref, s1_ref, s2_ref,
+                         *, m_total, tile_m):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        s1_ref[:] = jnp.zeros_like(s1_ref)
+        s2_ref[:] = jnp.zeros_like(s2_ref)
+
+    yf = jnp.dot(x_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    yf = yf + b_ref[:].astype(jnp.float32)
+    y = yf.astype(y_ref.dtype)
+    y_ref[:] = y
+
+    # Statistics of the output-dtype-rounded values (flax parity).
+    # Rows past m_total are padding garbage on the last tile: select
+    # them to 0 (jnp.where is a select — safe even against NaN/inf).
+    rows = (jax.lax.broadcasted_iota(jnp.int32, (tile_m, 1), 0)
+            + i * tile_m)
+    yz = jnp.where(rows < m_total, y.astype(jnp.float32), 0.0)
+    s1_ref[:] += jnp.sum(yz, axis=0, keepdims=True)
+    s2_ref[:] += jnp.sum(yz * yz, axis=0, keepdims=True)
+
+
+def _pick_tile_m(m, ci, co, itemsize):
+    """Largest row tile that divides cleanly into a modest VMEM slice
+    (the pipeline double-buffers the x and y tiles)."""
+    budget = 8 * 1024 * 1024
+    ci_p = _round_up(ci, 128)
+    co_p = _round_up(co, 128)
+    fits = [tm for tm in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8)
+            if 2 * tm * (ci_p + co_p) * itemsize <= budget]
+    for tm in fits:                     # prefer an even split
+        if m % tm == 0:
+            return tm
+    return fits[0] if fits else 8
+
+
+def _conv1x1_stats_fwd_impl(x, w, b):
+    n, h, wd, ci = x.shape
+    co = w.shape[-1]
+    m = n * h * wd
+    xm = x.reshape(m, ci)
+    wm = w.reshape(ci, co)
+    tile_m = _pick_tile_m(m, ci, co, jnp.dtype(x.dtype).itemsize)
+
+    y, s1, s2 = pl.pallas_call(
+        functools.partial(_matmul_stats_kernel, m_total=m,
+                          tile_m=tile_m),
+        grid=(pl.cdiv(m, tile_m),),
+        in_specs=[
+            pl.BlockSpec((tile_m, ci), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ci, co), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_m, co), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, co), x.dtype),
+            jax.ShapeDtypeStruct((1, co), jnp.float32),
+            jax.ShapeDtypeStruct((1, co), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(xm, wm, b.reshape(1, co))
+    return y.reshape(n, h, wd, co), s1[0], s2[0]
+
+
+@jax.custom_vjp
+def conv1x1_stats(x, w, b):
+    """1x1 stride-1 conv with fused per-channel statistic sums.
+
+    Args:
+      x: (N, H, W, Ci) activations.
+      w: (1, 1, Ci, Co) kernel (same dtype as x).
+      b: (Co,) bias (pass zeros when the conv is bias-free).
+    Returns:
+      (y, s1, s2): y (N, H, W, Co) in x.dtype; s1 = sum(y), s2 =
+      sum(y^2) per channel in f32, so mean = s1/M, var = s2/M - mean^2
+      with M = N*H*W.
+    """
+    y, s1, s2 = _conv1x1_stats_fwd_impl(x, w, b)
+    return y, s1, s2
+
+
+def _conv1x1_stats_fwd(x, w, b):
+    y, s1, s2 = _conv1x1_stats_fwd_impl(x, w, b)
+    return (y, s1, s2), (x, w, y)
+
+
+def _dy_eff(dy, ds1, ds2, y):
+    """Total cotangent wrt the raw conv output: the direct dy plus the
+    statistic sums' contributions d(s1)/dy = 1, d(s2)/dy = 2y."""
+    out = dy.astype(jnp.float32)
+    if ds1 is not None:
+        out = out + ds1.astype(jnp.float32)
+    if ds2 is not None:
+        out = out + 2.0 * y.astype(jnp.float32) * ds2.astype(jnp.float32)
+    return out.astype(dy.dtype)
+
+
+def _conv1x1_stats_bwd(res, cts):
+    x, w, y = res
+    dy, ds1, ds2 = cts
+    ci, co = x.shape[-1], w.shape[-1]
+    g = _dy_eff(dy, ds1, ds2, y)
+    gm = g.reshape(-1, co)
+    xm = x.reshape(-1, ci)
+    wm = w.reshape(ci, co)
+    dx = jax.lax.dot_general(
+        gm, wm, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    dw = jax.lax.dot_general(
+        xm, gm, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(w.dtype)
+    db = jnp.sum(gm.astype(jnp.float32), axis=0).astype(x.dtype)
+    return dx.reshape(x.shape), dw.reshape(w.shape), db
+
+
+conv1x1_stats.defvjp(_conv1x1_stats_fwd, _conv1x1_stats_bwd)
+
+
+# ---------------------------------------------------------------------------
+# 3x3 convolution + statistics epilogue
+# ---------------------------------------------------------------------------
+#
+# Grid: (N, H-tiles). The input stays in HBM (pl.ANY) and each step
+# DMAs a halo window into a VMEM scratch (standard BlockSpec blocks
+# are disjoint, so the 1-row overlap between consecutive tiles needs a
+# manual copy). DMA sizes must be static, so the window is clamped
+# inside [0, H) and written at a *dynamic destination offset* chosen
+# so that conceptual input row j always lands at scratch row 1+j;
+# out-of-image halo rows are masked to zero with a select. Width
+# halos never exist in HBM — the DMA writes into columns [1, W+1] and
+# the scratch's border columns are zeroed once. The conv is 9 shifted
+# (rows, W, Ci) x (Ci, Co) MXU dots accumulated in f32.
+
+def _conv3x3_kernel(x_hbm, w_ref, b_ref, y_ref, s1_ref, s2_ref,
+                    xt, sem, *, h, w, ci, th, stride, h_out):
+    n_i = pl.program_id(0)
+    t_i = pl.program_id(1)
+    first = jnp.logical_and(n_i == 0, t_i == 0)
+
+    @pl.when(first)
+    def _():
+        s1_ref[:] = jnp.zeros_like(s1_ref)
+        s2_ref[:] = jnp.zeros_like(s2_ref)
+        xt[:] = jnp.zeros_like(xt)      # zeros the pad columns
+
+    if stride == 1:
+        row0 = t_i * th - 1             # first conceptual input row
+        rows_needed = th + 2
+    else:
+        row0 = 2 * t_i * th - 1
+        rows_needed = 2 * th + 1
+
+    # Static-size window clamped in-bounds; conceptual row j = input
+    # row row0 + j lands at scratch row 1 + j for any clamp shift.
+    src0 = jnp.clip(row0, 0, h - rows_needed)
+    dst0 = 1 - (row0 - src0)            # in {0, 1, 2}
+    cp = pltpu.make_async_copy(
+        x_hbm.at[n_i, pl.ds(src0, rows_needed), :, :],
+        xt.at[pl.ds(dst0, rows_needed), pl.ds(1, w), :],
+        sem,
+    )
+    cp.start()
+    cp.wait()
+
+    xv = xt[:]
+    xc = jax.lax.slice(xv, (1, 0, 0), (1 + rows_needed, w + 2, ci))
+    row_ids = (jax.lax.broadcasted_iota(
+        jnp.int32, (rows_needed, 1, 1), 0) + row0)
+    valid = jnp.logical_and(row_ids >= 0, row_ids < h)
+    xc = jnp.where(valid, xc, jnp.zeros_like(xc))
+
+    w_out = y_ref.shape[2]
+    acc = jnp.zeros((th, w_out, y_ref.shape[3]), jnp.float32)
+    for ky in range(3):
+        for kx in range(3):
+            if stride == 1:
+                xs = xc[ky:ky + th, kx:kx + w, :]
+            else:
+                rows = jax.lax.slice(
+                    xc, (ky, 0, 0), (ky + 2 * th - 1, w + 2, ci),
+                    (2, 1, 1))
+                xs = jax.lax.slice(
+                    rows, (0, kx, 0), (th, kx + 2 * w_out - 1, ci),
+                    (1, 2, 1))
+            acc = acc + jax.lax.dot_general(
+                xs, w_ref[ky, kx], (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    yf = acc + b_ref[:].astype(jnp.float32)
+    y = yf.astype(y_ref.dtype)
+    y_ref[:] = y[None]
+
+    # last-tile output rows past the image are padding — mask them
+    out_rows = (jax.lax.broadcasted_iota(
+        jnp.int32, (th, 1, 1), 0) + t_i * th)
+    yz = jnp.where(out_rows < h_out, y.astype(jnp.float32), 0.0)
+    s1_ref[:] += jnp.sum(yz, axis=(0, 1)).reshape(1, -1)
+    s2_ref[:] += jnp.sum(yz * yz, axis=(0, 1)).reshape(1, -1)
+
+
+def _pick_tile_h(h, h_out, w, ci, co, itemsize, stride):
+    """Output rows per tile: keep x scratch + double-buffered y tile
+    within a modest VMEM slice (lane dims pad to 128). The clamped
+    halo window must fit inside the image: rows_needed <= h."""
+    ci_p = _round_up(ci, 128)
+    co_p = _round_up(co, 128)
+    budget = 8 * 1024 * 1024
+    fits = []
+    for th in (64, 32, 16, 8, 4, 2, 1):
+        in_rows = (2 * th + 3) if stride == 2 else (th + 4)
+        rows_needed = (2 * th + 1) if stride == 2 else (th + 2)
+        if rows_needed > h:
+            continue
+        x_tile = in_rows * (w + 2) * ci_p * itemsize
+        y_tile = th * (w // stride) * co_p * itemsize
+        if x_tile + 2 * y_tile <= budget:
+            fits.append(th)
+    for th in fits:                     # prefer an even split
+        if h_out % th == 0:
+            return th
+    return fits[0] if fits else 1
+
+
+def _conv3x3_stats_fwd_impl(x, w, b, stride):
+    n, h, wd, ci = x.shape
+    co = w.shape[-1]
+    h_out, w_out = h // stride, wd // stride
+    th = _pick_tile_h(h, h_out, wd, ci, co,
+                      jnp.dtype(x.dtype).itemsize, stride)
+    rows_needed = (2 * th + 1) if stride == 2 else (th + 2)
+
+    kernel = functools.partial(
+        _conv3x3_kernel, h=h, w=wd, ci=ci, th=th, stride=stride,
+        h_out=h_out)
+
+    y, s1, s2 = pl.pallas_call(
+        kernel,
+        grid=(n, pl.cdiv(h_out, th)),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((3, 3, ci, co), lambda i, j: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, th, w_out, co),
+                         lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, h_out, w_out, co), x.dtype),
+            jax.ShapeDtypeStruct((1, co), jnp.float32),
+            jax.ShapeDtypeStruct((1, co), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rows_needed + 2, wd + 2, ci), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=_interpret(),
+    )(x, w, b.reshape(1, co))
+    return y, s1[0], s2[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv3x3_stats(x, w, b, stride=1):
+    """3x3 conv with fused per-channel statistic sums.
+
+    stride=1: keras-SAME padding. stride=2: Darknet semantics — a
+    (1,0),(1,0) top/left zero-pad then VALID (reference
+    yolov3/models/backbone.py:58-63); H and W must be even.
+    Returns (y, s1, s2) like :func:`conv1x1_stats`.
+    """
+    y, s1, s2 = _conv3x3_stats_fwd_impl(x, w, b, stride)
+    return y, s1, s2
+
+
+def _conv3x3_stats_fwd(x, w, b, stride):
+    y, s1, s2 = _conv3x3_stats_fwd_impl(x, w, b, stride)
+    return (y, s1, s2), (x, w, y)
+
+
+def _ref_conv3x3(x, w, b, stride):
+    pad = ((1, 1), (1, 1)) if stride == 1 else ((1, 0), (1, 0))
+    y = jax.lax.conv_general_dilated(
+        x, w, (stride, stride), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    return (y + b.astype(jnp.float32)).astype(x.dtype)
+
+
+def _conv3x3_stats_bwd(stride, res, cts):
+    x, w, y = res
+    dy, ds1, ds2 = cts
+    g = _dy_eff(dy, ds1, ds2, y)
+    zero_b = jnp.zeros((w.shape[-1],), x.dtype)
+    _, vjp = jax.vjp(
+        lambda xx, ww: _ref_conv3x3(xx, ww, zero_b, stride), x, w)
+    dx, dw = vjp(g)
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2)).astype(x.dtype)
+    return dx, dw, db
+
+
+conv3x3_stats.defvjp(_conv3x3_stats_fwd, _conv3x3_stats_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Pure-XLA reference (test oracle + CPU fallback)
+# ---------------------------------------------------------------------------
+
+def conv_stats_ref(x, w, b, stride=1):
+    """XLA reference for conv{1x1,3x3}_stats: conv, then the separate
+    statistics pass the fused kernels eliminate."""
+    if w.shape[0] == 1:
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        y = (y + b.astype(jnp.float32)).astype(x.dtype)
+    else:
+        y = _ref_conv3x3(x, w, b, stride)
+    yf = y.astype(jnp.float32)
+    s1 = jnp.sum(yf, axis=(0, 1, 2))
+    s2 = jnp.sum(yf * yf, axis=(0, 1, 2))
+    return y, s1, s2
