@@ -154,3 +154,65 @@ def test_yolov3_forward_matches_reference(ref_export_v3):
         # noise, hence the relative term
         np.testing.assert_allclose(np.asarray(out), io[f"out{i}"],
                                    rtol=1.5e-2, atol=3e-3)
+
+
+def test_yolov2_mobilenet_forward_matches_reference(tmp_path_factory):
+    """v2 with the keras-applications MobileNetV2 backbone (reference
+    yolov2/models/darknet.py:57-61) under name-mapped converted
+    weights — extends converted-weight parity beyond the darknet
+    bodies (VERDICT r2 next #3)."""
+    import jax
+    import jax.numpy as jnp
+    from tf2_yolo_tpu.convert import (load_h5_weights,
+                                      convert_yolov2_mobilenet,
+                                      merge_into_variables)
+    from tf2_yolo_tpu.models import YoloV2
+
+    outdir = _export(tmp_path_factory, "ref_export_v2_mobilenet.py",
+                     "refv2mn")
+    io = np.load(os.path.join(outdir, "ref_io.npz"))
+    anchors = np.stack([np.linspace(0.2, 0.8, 5),
+                        np.linspace(0.3, 0.7, 5)], 1)
+    model = YoloV2(anchors=anchors, class_num=3, backbone="mobilenet")
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 128, 128, 3)), train=False)
+    merged = merge_into_variables(
+        variables, *convert_yolov2_mobilenet(
+            load_h5_weights(
+                os.path.join(outdir, "ref_v2_mobilenet.h5")), 3, 5))
+    out, _ = model.apply(merged, jnp.asarray(io["x"]), train=True,
+                         mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out), io["out"],
+                               rtol=1e-2, atol=2e-3)
+
+
+def test_yolov3_resnet50_forward_matches_reference(tmp_path_factory):
+    """v3 with the keras-applications ResNet50 backbone (reference
+    yolov3/models/backbone.py:98-126, facade fpn_id [-33, 80]) under
+    name-mapped converted weights: checks our structural c4/c3 taps
+    equal the reference's layer-index taps, the bottleneck wiring, and
+    BN eps 1.001e-5."""
+    import jax
+    import jax.numpy as jnp
+    from tf2_yolo_tpu.convert import (load_h5_weights,
+                                      convert_yolov3_resnet,
+                                      merge_into_variables)
+    from tf2_yolo_tpu.models import YoloV3
+
+    outdir = _export(tmp_path_factory, "ref_export_v3_resnet.py",
+                     "refv3rn")
+    io = np.load(os.path.join(outdir, "ref_io.npz"))
+    anchors = np.stack([np.linspace(0.1, 0.9, 9),
+                        np.linspace(0.2, 0.8, 9)], 1)
+    model = YoloV3(anchors=anchors, class_num=3, backbone="resnet50")
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 128, 128, 3)), train=False)
+    merged = merge_into_variables(
+        variables, *convert_yolov3_resnet(
+            load_h5_weights(
+                os.path.join(outdir, "ref_v3_resnet50.h5")), 3))
+    outs, _ = model.apply(merged, jnp.asarray(io["x"]), train=True,
+                          mutable=["batch_stats"])
+    for i, out in enumerate(outs):
+        np.testing.assert_allclose(np.asarray(out), io[f"out{i}"],
+                                   rtol=1e-2, atol=2e-3)

@@ -39,10 +39,15 @@ def load_h5_weights(path):
         if isinstance(obj, h5py.Dataset):
             parts = name.split("/")
             # keras nests as  <layer>/<layer>/<weight>:0  or
-            # model_weights/<layer>/<layer>/<weight>:0
+            # model_weights/<layer>/<layer>/<weight>:0; a nested
+            # sub-MODEL (e.g. the v2 mobilenet backbone,
+            # reference yolov2/models/darknet.py:57-61) adds a level:
+            # <model_layer>/<inner_layer>/<weight>:0 — keying on the
+            # second-to-last component names the actual weight owner
+            # in every case.
             if parts[0] == "model_weights":
                 parts = parts[1:]
-            layer = parts[0]
+            layer = parts[-2] if len(parts) >= 2 else parts[0]
             weight = parts[-1].split(":")[0]
             out.setdefault(layer, {})[weight] = np.array(obj)
 
@@ -353,6 +358,134 @@ def convert_yolov2_positional(h5_path_or_weights, variables,
     _set_in(params, ("head", "conv"),
             {"kernel": np.concatenate(kernels, axis=-1),
              "bias": np.concatenate(biases, axis=-1)})
+    return params, stats
+
+
+def _copy_pair(h5w, conv_name, bn_name, params, stats, conv_path,
+               bn_path, dw=False):
+    """Copy one keras conv layer (+ optional BN layer) onto explicit
+    param paths. ``dw=True`` transposes a keras depthwise kernel
+    (kh, kw, C, 1) to flax feature_group_count layout (kh, kw, 1, C)."""
+    conv = h5w[conv_name]
+    kernel = conv["kernel"] if "kernel" in conv \
+        else conv["depthwise_kernel"]
+    if dw:
+        kernel = np.transpose(kernel, (0, 1, 3, 2))
+    entry = {"kernel": kernel}
+    if "bias" in conv:
+        entry["bias"] = conv["bias"]
+    _set_in(params, conv_path, entry)
+    if bn_name is not None:
+        bn = h5w[bn_name]
+        _set_in(params, bn_path,
+                {"scale": bn["gamma"], "bias": bn["beta"]})
+        _set_in(stats, bn_path,
+                {"mean": bn["moving_mean"],
+                 "var": bn["moving_variance"]})
+
+
+def convert_yolov2_mobilenet(h5_path_or_weights, class_num, abox_num):
+    """Convert a reference YOLOv2 mobilenet-backbone h5 (keras
+    applications MobileNetV2 nested sub-model + per-anchor head convs,
+    reference yolov2/models/darknet.py:57-61, :68-102) onto the
+    MobileNetV2-backbone YoloV2 trees by keras layer NAME (the
+    backbone layers are explicitly named; only the head convs are
+    auto-numbered)."""
+    h5w = (h5_path_or_weights
+           if isinstance(h5_path_or_weights, dict)
+           else load_h5_weights(h5_path_or_weights))
+    params, stats = {}, {}
+    B = ("backbone",)
+
+    _copy_pair(h5w, "Conv1", "bn_Conv1", params, stats,
+               B + ("stem_conv",), B + ("stem_bn",))
+    # 17 inverted residual blocks; keras names block 0 "expanded_conv"
+    for i in range(17):
+        ours = B + (f"block{i + 1}",)
+        ref = "expanded_conv" if i == 0 else f"block_{i}"
+        if i != 0:
+            _copy_pair(h5w, f"{ref}_expand", f"{ref}_expand_BN",
+                       params, stats, ours + ("expand_conv",),
+                       ours + ("expand_bn",))
+        _copy_pair(h5w, f"{ref}_depthwise", f"{ref}_depthwise_BN",
+                   params, stats, ours + ("dw_conv",),
+                   ours + ("dw_bn",), dw=True)
+        _copy_pair(h5w, f"{ref}_project", f"{ref}_project_BN",
+                   params, stats, ours + ("project_conv",),
+                   ours + ("project_bn",))
+    _copy_pair(h5w, "Conv_1", "Conv_1_bn", params, stats,
+               B + ("head_conv",), B + ("head_bn",))
+
+    # per-anchor head convs (xy, wh, conf, prob) — auto-numbered
+    head_convs = _numbered(h5w, "conv2d")
+    if len(head_convs) != 4 * abox_num:
+        raise ValueError(
+            f"expected {4 * abox_num} head convs, h5 has "
+            f"{len(head_convs)}")
+    kernels, biases = [], []
+    for j in range(abox_num):
+        group = head_convs[4 * j:4 * j + 4]
+        for lay, ch in zip(group, (2, 2, 1, class_num)):
+            k = lay["kernel"]
+            if k.shape[-1] != ch:
+                raise ValueError(
+                    f"head conv channel mismatch: {k.shape[-1]} vs {ch}")
+            kernels.append(k)
+            biases.append(lay.get("bias", np.zeros(ch, np.float32)))
+    _set_in(params, ("head", "conv"),
+            {"kernel": np.concatenate(kernels, axis=-1),
+             "bias": np.concatenate(biases, axis=-1)})
+    return params, stats
+
+
+_RESNET_STAGE_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3),
+                        152: (3, 8, 36, 3)}
+
+
+def convert_yolov3_resnet(h5_path_or_weights, class_num, depth=50,
+                          abox_num=3, num_levels=3):
+    """Convert a reference YOLOv3 resnet-backbone h5 (keras
+    applications ResNet{50,101,152} + Darknet FPN, reference
+    yolov3/models/backbone.py:98-126, yolov3/__init__.py:143-156) by
+    keras layer name onto the ResNet-backbone YoloV3 trees."""
+    h5w = (h5_path_or_weights
+           if isinstance(h5_path_or_weights, dict)
+           else load_h5_weights(h5_path_or_weights))
+    params, stats = {}, {}
+    B = ("backbone",)
+
+    _copy_pair(h5w, "conv1_conv", "conv1_bn", params, stats,
+               B + ("stem_conv",), B + ("stem_bn",))
+    for s, n_blocks in enumerate(_RESNET_STAGE_BLOCKS[depth],
+                                 start=1):
+        for b in range(1, n_blocks + 1):
+            ref = f"conv{s + 1}_block{b}"
+            ours = B + (f"stage{s}_block{b}",)
+            if b == 1:
+                _copy_pair(h5w, f"{ref}_0_conv", f"{ref}_0_bn",
+                           params, stats, ours + ("short_conv",),
+                           ours + ("short_bn",))
+            for i in (1, 2, 3):
+                _copy_pair(h5w, f"{ref}_{i}_conv", f"{ref}_{i}_bn",
+                           params, stats, ours + (f"conv{i}",),
+                           ours + (f"bn{i}",))
+
+    used = set()
+    for k in range(1, 4):
+        for our_name, ref_name in [
+                ("conv1", f"last{k}_1_1x1"), ("conv2", f"last{k}_1_3x3"),
+                ("conv3", f"last{k}_2_1x1"), ("conv4", f"last{k}_2_3x3"),
+                ("conv5", f"last{k}_3_1x1"), ("out", f"last{k}_3_3x3")]:
+            _copy_convbn(h5w, ref_name, params, stats,
+                         (f"fpn{k}", our_name), used)
+    for up in ("up1", "up2"):
+        _copy_convbn(h5w, up, params, stats, (up,), used)
+
+    if any(key.startswith("out1_box1") for key in h5w):
+        for level in range(1, num_levels + 1):
+            fused, _ = _fuse_head(h5w, level, abox_num, class_num,
+                                  used)
+            _set_in(params, (f"head{level}", "conv"), fused)
     return params, stats
 
 

@@ -226,8 +226,11 @@ class YoloBase:
         The deployment counterpart of the reference's weights-file
         story (reference yolov4/__init__.py:269-274): the artifact is
         reloaded with ``tf2_yolo_tpu.export.load_serving(path)`` and
-        called directly on (batch_size, H, W, 3) f32 images — no
-        model-building Python needed at serving time.
+        called directly on (batch, H, W, 3) f32 images — no
+        model-building Python needed at serving time. ``batch_size``
+        may be a list of bucket sizes shipped in one artifact; the
+        loaded model dispatches per call. The artifact carries
+        metadata (class names, thresholds, shapes) in ``.meta``.
         """
         from .export import save_serving
 
@@ -239,6 +242,7 @@ class YoloBase:
             path, self.model.module, variables,
             input_shape=self.input_shape, batch_size=batch_size,
             class_num=self.class_num, version=self.version,
+            class_names=self.class_names,
             fold_bn=fold_bn, platforms=platforms,
             threshold=threshold, nms_mode=nms_mode,
             nms_threshold=nms_threshold, nms_sigma=nms_sigma,

@@ -39,7 +39,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _interpret():
-    return jax.default_backend() != "tpu"
+    # Mosaic-compile on any real TPU (incl. remote PJRT plugins whose
+    # platform name isn't "tpu", e.g. "axon" — device_kind still says
+    # TPU); interpret elsewhere (CPU tests).
+    dev = jax.devices()[0]
+    return not (dev.platform == "tpu"
+                or "TPU" in getattr(dev, "device_kind", ""))
 
 
 def _round_up(x, m):
@@ -88,12 +93,38 @@ def _pick_tile_m(m, ci, co, itemsize):
     return fits[0] if fits else 8
 
 
+def _lane_fold(m, ci, co):
+    """Rows folded per vreg row so both input (f*ci) and output (f*co)
+    lane widths reach the 128-lane vector width. A (M, 64) bf16 tile
+    half-fills every vector register and the HBM<->VMEM DMAs run at
+    ~25% efficiency (measured 13.3 vs 3.5 ms on the 208^2x64 layer);
+    folding f=2 rows with a block-diagonal weight fills the lanes at
+    zero MXU cost (the MXU processes 128-wide K regardless)."""
+    f = 1
+    while (f * min(ci, co) < 128 and f * max(ci, co) < 512
+           and 128 % (f * min(ci, co)) == 0 and m % (2 * f) == 0):
+        f *= 2
+    return f
+
+
 def _conv1x1_stats_fwd_impl(x, w, b):
     n, h, wd, ci = x.shape
     co = w.shape[-1]
     m = n * h * wd
     xm = x.reshape(m, ci)
     wm = w.reshape(ci, co)
+
+    f = _lane_fold(m, ci, co)
+    if f > 1:
+        xm = xm.reshape(m // f, f * ci)
+        w2 = jnp.zeros((f * ci, f * co), wm.dtype)
+        for i in range(f):
+            w2 = w2.at[i * ci:(i + 1) * ci,
+                       i * co:(i + 1) * co].set(wm)
+        wm = w2
+        b = jnp.tile(b, f)
+        m, ci, co = m // f, f * ci, f * co
+
     tile_m = _pick_tile_m(m, ci, co, jnp.dtype(x.dtype).itemsize)
 
     y, s1, s2 = pl.pallas_call(
@@ -123,6 +154,10 @@ def _conv1x1_stats_fwd_impl(x, w, b):
         ],
         interpret=_interpret(),
     )(xm, wm, b.reshape(1, co))
+    if f > 1:
+        co = co // f
+        s1 = s1.reshape(f, co).sum(axis=0)[None]
+        s2 = s2.reshape(f, co).sum(axis=0)[None]
     return y.reshape(n, h, wd, co), s1[0], s2[0]
 
 
