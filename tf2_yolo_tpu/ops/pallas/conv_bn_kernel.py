@@ -55,110 +55,84 @@ def _round_up(x, m):
 # 1x1 convolution (row-tiled matmul) + statistics epilogue
 # ---------------------------------------------------------------------------
 
-def _matmul_stats_kernel(x_ref, w_ref, b_ref, y_ref, s1_ref, s2_ref,
-                         *, m_total, tile_m):
-    i = pl.program_id(0)
+def _conv1x1_kernel(x_ref, w_ref, b_ref, y_ref, s1_ref, s2_ref,
+                    *, h, th):
+    """Grid (N, H-tiles) over the NATIVE NHWC layout — reshaping to
+    (N*H*W, C) at the pallas boundary forces XLA to physically
+    relayout 2 activation-sized arrays (tiled layouts differ), which
+    measured +10 ms on the 208^2x64 layer. Blocks stay 4D instead."""
+    n_i = pl.program_id(0)
+    t_i = pl.program_id(1)
 
-    @pl.when(i == 0)
+    @pl.when(jnp.logical_and(n_i == 0, t_i == 0))
     def _():
         s1_ref[:] = jnp.zeros_like(s1_ref)
         s2_ref[:] = jnp.zeros_like(s2_ref)
 
-    yf = jnp.dot(x_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    xv = x_ref[0]                        # (th, W, Ci)
+    yf = jax.lax.dot_general(
+        xv, w_ref[:], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     yf = yf + b_ref[:].astype(jnp.float32)
     y = yf.astype(y_ref.dtype)
-    y_ref[:] = y
+    y_ref[:] = y[None]
 
-    # Statistics of the output-dtype-rounded values (flax parity).
-    # Rows past m_total are padding garbage on the last tile: select
-    # them to 0 (jnp.where is a select — safe even against NaN/inf).
-    rows = (jax.lax.broadcasted_iota(jnp.int32, (tile_m, 1), 0)
-            + i * tile_m)
-    yz = jnp.where(rows < m_total, y.astype(jnp.float32), 0.0)
-    s1_ref[:] += jnp.sum(yz, axis=0, keepdims=True)
-    s2_ref[:] += jnp.sum(yz * yz, axis=0, keepdims=True)
+    # last-tile rows past the image are padding garbage — select to 0
+    # (jnp.where is a select: safe even against NaN/inf)
+    rows = (jax.lax.broadcasted_iota(jnp.int32, (th, 1, 1), 0)
+            + t_i * th)
+    yz = jnp.where(rows < h, y.astype(jnp.float32), 0.0)
+    s1_ref[:] += jnp.sum(yz, axis=(0, 1)).reshape(1, -1)
+    s2_ref[:] += jnp.sum(yz * yz, axis=(0, 1)).reshape(1, -1)
 
 
-def _pick_tile_m(m, ci, co, itemsize):
-    """Largest row tile that divides cleanly into a modest VMEM slice
-    (the pipeline double-buffers the x and y tiles)."""
+def _pick_rows(h, w, ci, co, itemsize):
+    """Output rows per tile: keep the double-buffered x and y tiles in
+    a modest VMEM slice (lane dims pad to 128)."""
     budget = 8 * 1024 * 1024
-    ci_p = _round_up(ci, 128)
-    co_p = _round_up(co, 128)
-    fits = [tm for tm in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8)
-            if 2 * tm * (ci_p + co_p) * itemsize <= budget]
-    for tm in fits:                     # prefer an even split
-        if m % tm == 0:
-            return tm
-    return fits[0] if fits else 8
-
-
-def _lane_fold(m, ci, co):
-    """Rows folded per vreg row so both input (f*ci) and output (f*co)
-    lane widths reach the 128-lane vector width. A (M, 64) bf16 tile
-    half-fills every vector register and the HBM<->VMEM DMAs run at
-    ~25% efficiency (measured 13.3 vs 3.5 ms on the 208^2x64 layer);
-    folding f=2 rows with a block-diagonal weight fills the lanes at
-    zero MXU cost (the MXU processes 128-wide K regardless)."""
-    f = 1
-    while (f * min(ci, co) < 128 and f * max(ci, co) < 512
-           and 128 % (f * min(ci, co)) == 0 and m % (2 * f) == 0):
-        f *= 2
-    return f
+    per_row = (w * (_round_up(ci, 128) + _round_up(co, 128))
+               * itemsize * 2)          # x+y, double-buffered
+    fits = [t for t in (64, 32, 16, 8, 4, 2, 1)
+            if t * per_row <= budget and t <= h]
+    for t in fits:
+        if h % t == 0:
+            return t
+    return fits[0] if fits else 1
 
 
 def _conv1x1_stats_fwd_impl(x, w, b):
     n, h, wd, ci = x.shape
     co = w.shape[-1]
-    m = n * h * wd
-    xm = x.reshape(m, ci)
     wm = w.reshape(ci, co)
-
-    f = _lane_fold(m, ci, co)
-    if f > 1:
-        xm = xm.reshape(m // f, f * ci)
-        w2 = jnp.zeros((f * ci, f * co), wm.dtype)
-        for i in range(f):
-            w2 = w2.at[i * ci:(i + 1) * ci,
-                       i * co:(i + 1) * co].set(wm)
-        wm = w2
-        b = jnp.tile(b, f)
-        m, ci, co = m // f, f * ci, f * co
-
-    tile_m = _pick_tile_m(m, ci, co, jnp.dtype(x.dtype).itemsize)
+    th = _pick_rows(h, wd, ci, co, jnp.dtype(x.dtype).itemsize)
 
     y, s1, s2 = pl.pallas_call(
-        functools.partial(_matmul_stats_kernel, m_total=m,
-                          tile_m=tile_m),
-        grid=(pl.cdiv(m, tile_m),),
+        functools.partial(_conv1x1_kernel, h=h, th=th),
+        grid=(n, pl.cdiv(h, th)),
         in_specs=[
-            pl.BlockSpec((tile_m, ci), lambda i: (i, 0),
+            pl.BlockSpec((1, th, wd, ci), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ci, co), lambda i: (0, 0),
+            pl.BlockSpec((ci, co), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, co), lambda i: (0, 0),
+            pl.BlockSpec((1, co), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tile_m, co), lambda i: (i, 0),
+            pl.BlockSpec((1, th, wd, co), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, co), lambda i: (0, 0),
+            pl.BlockSpec((1, co), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, co), lambda i: (0, 0),
+            pl.BlockSpec((1, co), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((m, co), x.dtype),
+            jax.ShapeDtypeStruct((n, h, wd, co), x.dtype),
             jax.ShapeDtypeStruct((1, co), jnp.float32),
             jax.ShapeDtypeStruct((1, co), jnp.float32),
         ],
         interpret=_interpret(),
-    )(xm, wm, b.reshape(1, co))
-    if f > 1:
-        co = co // f
-        s1 = s1.reshape(f, co).sum(axis=0)[None]
-        s2 = s2.reshape(f, co).sum(axis=0)[None]
-    return y.reshape(n, h, wd, co), s1[0], s2[0]
+    )(x, wm, b.reshape(1, co))
+    return y, s1[0], s2[0]
 
 
 @jax.custom_vjp
@@ -194,22 +168,26 @@ def _dy_eff(dy, ds1, ds2, y):
     return out.astype(dy.dtype)
 
 
+def _ref_conv1x1(x, w, b):
+    y = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    return (y + b.astype(jnp.float32)).astype(x.dtype)
+
+
 def _conv1x1_stats_bwd(res, cts):
     x, w, y = res
     dy, ds1, ds2 = cts
-    ci, co = x.shape[-1], w.shape[-1]
     g = _dy_eff(dy, ds1, ds2, y)
-    gm = g.reshape(-1, co)
-    xm = x.reshape(-1, ci)
-    wm = w.reshape(ci, co)
-    dx = jax.lax.dot_general(
-        gm, wm, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(x.dtype)
-    dw = jax.lax.dot_general(
-        xm, gm, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(w.dtype)
-    db = jnp.sum(gm.astype(jnp.float32), axis=0).astype(x.dtype)
-    return dx.reshape(x.shape), dw.reshape(w.shape), db
+    # NHWC conv VJP (not reshaped 2D dots: those force tiled-layout
+    # relayout copies of activation-sized arrays)
+    zero_b = jnp.zeros((w.shape[-1],), x.dtype)
+    _, vjp = jax.vjp(lambda xx, ww: _ref_conv1x1(xx, ww, zero_b),
+                     x, w)
+    dx, dw = vjp(g)
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2)).astype(x.dtype)
+    return dx, dw, db
 
 
 conv1x1_stats.defvjp(_conv1x1_stats_fwd, _conv1x1_stats_bwd)
