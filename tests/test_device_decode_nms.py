@@ -135,3 +135,45 @@ def test_device_nms_chain_semantics():
     dev = np.asarray(drows)[0][np.asarray(keep)[0]]
     assert sorted(dev[:, 4].tolist()) == [pytest.approx(0.7),
                                           pytest.approx(0.9)]
+
+
+@pytest.mark.parametrize("iou_mode", [1, 2])
+def test_nms_fixedpoint_matches_scan(iou_mode):
+    """The batched fixed-point iteration (ops/nms.py nms) must produce
+    exactly the sequential scan's keep mask (nms_scan) — dense random
+    clusters force multi-level suppression chains."""
+    from tf2_yolo_tpu.ops.nms import nms_scan
+    rng = np.random.RandomState(11)
+    n, k = 4, 64
+    rows = np.zeros((n, k, 7), np.float32)
+    rows[..., :2] = 0.5 + rng.randn(n, k, 2) * 0.1
+    rows[..., 2:4] = rng.rand(n, k, 2) * 0.3 + 0.15
+    rows[..., 4] = rng.rand(n, k)
+    rows[..., 5] = rng.randint(0, 3, (n, k))
+    rows[..., 6] = rng.rand(n, k)
+    valid = rng.rand(n, k) < 0.9
+
+    r_fp, k_fp = nms_device(rows, valid, 0.45, iou_mode=iou_mode)
+    r_sc, k_sc = nms_scan(rows, valid, 0.45, iou_mode=iou_mode)
+    np.testing.assert_array_equal(np.asarray(r_fp), np.asarray(r_sc))
+    np.testing.assert_array_equal(np.asarray(k_fp), np.asarray(k_sc))
+
+
+def test_nms_fixedpoint_deep_chain():
+    """A maximal alternating chain (each box only overlaps its
+    neighbors; greedy keeps every other one) needs the most fixed-point
+    sweeps — exactness must survive deep convergence."""
+    from tf2_yolo_tpu.ops.nms import nms_scan
+    depth = 24
+    rows = np.zeros((1, 32, 7), np.float32)
+    for i in range(depth):
+        rows[0, i] = [0.1 + 0.04 * i, 0.5, 0.1, 0.1,
+                      0.9 - 0.02 * i, 0, 1.0]
+    valid = np.zeros((1, 32), bool)
+    valid[0, :depth] = True
+
+    r_fp, k_fp = nms_device(rows, valid, 0.3)
+    r_sc, k_sc = nms_scan(rows, valid, 0.3)
+    np.testing.assert_array_equal(np.asarray(k_fp), np.asarray(k_sc))
+    kept = np.asarray(r_fp)[0][np.asarray(k_fp)[0]]
+    assert len(kept) == depth // 2          # every other box survives

@@ -60,6 +60,51 @@ def _nms_single(rows, valid, nms_threshold, iou_mode):
     return rows, valid & ~suppressed
 
 
+def _nms_fixedpoint(rows, valid, nms_threshold, iou_mode):
+    """Exact greedy NMS via fixed-point iteration (whole batch at once).
+
+    Greedy keep is the prefix recurrence
+    ``g_j = valid_j and not any(O[i, j] and g_i for i < j)`` over the
+    confidence order. Instead of a K-step sequential scan, iterate the
+    map ``f(a)_j = valid_j and not any(O[:, j] @ a)`` from a0 = valid:
+    f is antitone, f*f is monotone, and by induction on the box index
+    the iterates pin every box whose suppression-chain depth they
+    reach, so the sequence converges to g (the unique fixed point) in
+    chain-depth+1 steps — typically a handful, never more than K. Each
+    step is ONE (N,K)x(N,K,K) 0/1 matmul on the MXU, so at the
+    deployment K=128 this replaces 128 dependent scan steps (~1 ms on
+    v5e) with ~4 batched matvecs.
+
+    The overlap lattice is stored bf16 (entries are 0/1 so products
+    are exact) and accumulated f32 (integer sums <= K are exact)."""
+    rows, valid = jax.vmap(_sorted_by_conf)(rows, valid)
+    k = rows.shape[1]
+    ious = jax.vmap(lambda r: _pair_matrix(r, iou_mode))(rows)
+    later = (jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+             > jax.lax.broadcasted_iota(jnp.int32, (k, k), 0))
+    lattice = ((ious >= nms_threshold) & later[None]).astype(jnp.bfloat16)
+    v = valid
+
+    def f(a):
+        s = jax.lax.dot_general(
+            a.astype(jnp.bfloat16), lattice,
+            (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # N,K
+        return v & (s < 0.5)
+
+    def cond(c):
+        a, nxt, t = c
+        return jnp.logical_and(jnp.any(a != nxt), t < k)
+
+    def body(c):
+        _, nxt, t = c
+        return nxt, f(nxt), t + 1
+
+    a0 = v
+    _, keep, _ = jax.lax.while_loop(cond, body, (a0, f(a0), 0))
+    return rows, keep
+
+
 def _soft_nms_single(rows, valid, nms_threshold, conf_threshold, sigma):
     rows, valid = _sorted_by_conf(rows, valid)
     k = rows.shape[0]
@@ -86,7 +131,17 @@ def _soft_nms_single(rows, valid, nms_threshold, conf_threshold, sigma):
 @partial(jax.jit, static_argnames=("iou_mode",))
 def nms(rows, valid, nms_threshold=0.45, iou_mode=1):
     """Batched greedy NMS. rows (N, K, 7) from ``decode``; returns
-    (rows_sorted, keep) with the same static shapes."""
+    (rows_sorted, keep) with the same static shapes. Computed by the
+    fixed-point iteration (see :func:`_nms_fixedpoint`); the
+    sequential-scan formulation is kept as :func:`nms_scan` (test
+    oracle / fallback)."""
+    return _nms_fixedpoint(rows, valid, nms_threshold, iou_mode)
+
+
+@partial(jax.jit, static_argnames=("iou_mode",))
+def nms_scan(rows, valid, nms_threshold=0.45, iou_mode=1):
+    """Greedy NMS via the literal per-box ``lax.scan`` (K dependent
+    steps). Same result as :func:`nms`; kept as the semantics oracle."""
     return jax.vmap(
         lambda r, v: _nms_single(r, v, nms_threshold, iou_mode))(
         rows, valid)
