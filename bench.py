@@ -33,6 +33,10 @@ ACCUM = int(os.environ.get("BENCH_ACCUM", "1"))
 # (+1.2% over the 441 default) but the compile takes ~20 min, so it
 # stays opt-in rather than the bench default.
 XLA_OPTS = json.loads(os.environ.get("BENCH_XLA_OPTS", "{}"))
+# BENCH_FUSED=0 disables the Pallas fused conv+BN-statistics path
+# (models/layers.py set_fused_convbn); the lane-width gate keeps
+# sub-128-channel layers on XLA either way.
+FUSED = os.environ.get("BENCH_FUSED", "1") == "1"
 
 
 def main():
@@ -50,6 +54,10 @@ def main():
 
     platform = jax.devices()[0].platform
     compute_dtype = jnp.bfloat16 if platform != "cpu" else jnp.float32
+
+    if FUSED and platform != "cpu":
+        from tf2_yolo_tpu.models.layers import set_fused_convbn
+        set_fused_convbn(True)
 
     anchors = np.stack([np.linspace(0.05, 0.75, 9),
                         np.linspace(0.07, 0.65, 9)], axis=1)

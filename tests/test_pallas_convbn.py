@@ -27,6 +27,7 @@ def _assert_close(got, want, rtol, atol, msg):
 @pytest.mark.parametrize("n,h,w,ci,co", [
     (2, 8, 8, 16, 32),
     (3, 7, 5, 8, 8),        # uneven M: last-tile masking
+    (2, 13, 13, 16, 8),     # sublane-unaligned W (52/26/13 stages)
 ])
 def test_conv1x1_stats_matches_ref(n, h, w, ci, co):
     x = jnp.asarray(rng.randn(n, h, w, ci), jnp.float32)
@@ -39,6 +40,7 @@ def test_conv1x1_stats_matches_ref(n, h, w, ci, co):
 @pytest.mark.parametrize("stride,n,h,w,ci,co", [
     (1, 2, 8, 8, 8, 16),
     (1, 1, 12, 8, 3, 8),    # stem-like 3-channel input
+    (1, 2, 13, 13, 8, 16),  # sublane-unaligned W (52/26/13 stages)
     (2, 2, 8, 8, 8, 16),    # darknet top/left pad
     (2, 1, 12, 6, 4, 8),
 ])

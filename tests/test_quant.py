@@ -1,0 +1,81 @@
+"""Static-scale int8 inference: calibration capture, scales tree,
+quantized-vs-float agreement, and the serving-path integration.
+
+The reference has no quantized deployment path (its inference is
+model.predict + host NumPy, utils/tools.py:370-733); this is the
+TPU-native serving extension (int8 MXU runs ~2x bf16 on v5e).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tf2_yolo_tpu.models import YoloV4
+from tf2_yolo_tpu.models.layers import ConvBN
+from tf2_yolo_tpu.export import (fold_batch_norm, calibrate_int8,
+                                 make_serving_fn)
+
+rng = np.random.RandomState(0)
+
+
+def test_convbn_quant_matches_float():
+    m = ConvBN(features=24, kernel=3, act="leaky")
+    x = jnp.asarray(rng.rand(2, 16, 16, 12) * 2 - 1, jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    _, aux = m.apply(v, x, train=False, mutable=["quant_calib"])
+    sx = jnp.maximum(aux["quant_calib"]["in_absmax"], 1e-6) / 127.0
+    q = m.apply({**v, "quant": {"in_scale": sx}}, x, train=False)
+    f = m.apply(v, x, train=False)
+    # int8 per-channel symmetric: ~1% of dynamic range
+    assert float(jnp.max(jnp.abs(q - f))) < 0.06 * float(jnp.std(f) + 1)
+
+
+def test_convbn_quant_darknet_stride2():
+    m = ConvBN(features=16, kernel=3, strides=2, act="mish")
+    x = jnp.asarray(rng.rand(1, 8, 8, 8), jnp.float32)
+    v = m.init(jax.random.PRNGKey(1), x, train=False)
+    _, aux = m.apply(v, x, train=False, mutable=["quant_calib"])
+    sx = jnp.maximum(aux["quant_calib"]["in_absmax"], 1e-6) / 127.0
+    q = m.apply({**v, "quant": {"in_scale": sx}}, x, train=False)
+    f = m.apply(v, x, train=False)
+    assert q.shape == f.shape == (1, 4, 4, 16)
+    assert float(jnp.max(jnp.abs(q - f))) < 0.06 * float(jnp.std(f) + 1)
+
+
+def test_calibration_is_noop_without_mutable():
+    m = ConvBN(features=8, kernel=1)
+    x = jnp.asarray(rng.rand(1, 4, 4, 8), jnp.float32)
+    v = m.init(jax.random.PRNGKey(2), x, train=False)
+    out = m.apply(v, x, train=False)       # no mutable: sow skipped
+    assert out.shape == (1, 4, 4, 8)
+
+
+@pytest.fixture(scope="module")
+def tiny_v4():
+    anchors = np.stack([np.linspace(0.1, 0.8, 9),
+                        np.linspace(0.1, 0.7, 9)], axis=1)
+    module = YoloV4(anchors=anchors, class_num=2)
+    x = jnp.asarray(rng.rand(2, 96, 96, 3), jnp.float32)
+    variables = fold_batch_norm(
+        module.init(jax.random.PRNGKey(0), x[:1], train=False))
+    return module, variables, x, anchors
+
+
+def test_calibrate_int8_tree_and_serving(tiny_v4):
+    module, variables, x, _ = tiny_v4
+    quant = calibrate_int8(module, variables, [x])
+    leaves = jax.tree_util.tree_leaves(quant)
+    assert len(leaves) > 50            # every ConvBN calibrated
+    assert all(float(l) > 0 for l in leaves)
+
+    kw = dict(class_num=2, version=4, threshold=0.3, max_boxes=32)
+    f32 = jax.jit(make_serving_fn(module, variables, **kw))
+    i8 = jax.jit(make_serving_fn(module, variables, quant=quant, **kw))
+    rows_f, keep_f = [np.asarray(a) for a in f32(x)]
+    rows_q, keep_q = [np.asarray(a) for a in i8(x)]
+    assert rows_f.shape == rows_q.shape
+    # untrained nets sit near the decision threshold, so demand
+    # agreement of the confidence field, not the thresholded sets
+    assert np.abs(rows_f[..., 4] - rows_q[..., 4]).max() < 0.15

@@ -149,19 +149,62 @@ def _fold_one(scope_params, bn_name, bn_stats, eps):
 
 
 # ----------------------------------------------------------------------
+def calibrate_int8(module, variables, sample_batches):
+    """Static-scale int8 calibration: run eval-mode forwards over the
+    sample batches, capture each ConvBN input's max-abs (the
+    ``quant_calib`` collection sown by models/layers.py ConvBN), and
+    return the ``{"quant": ...}`` scales tree that activates the int8
+    inference path when merged into ``module.apply`` variables.
+
+    Static per-layer scales are the fix for the round-2 dynamic-quant
+    dead end (BASELINE.md): computing per-batch maxes cost two extra
+    bandwidth passes per layer and lost to bf16 (877 vs 1076 img/s);
+    calibrated constants cost nothing at serve time.
+    """
+    absmax = None
+    for xb in sample_batches:
+        _, aux = module.apply(variables, jnp.asarray(xb), train=False,
+                              mutable=["quant_calib"])
+        t = aux["quant_calib"]
+        absmax = t if absmax is None else jax.tree_util.tree_map(
+            jnp.maximum, absmax, t)
+    if absmax is None:
+        raise ValueError("calibrate_int8 needs >= 1 sample batch")
+
+    def convert(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            if k == "in_absmax":
+                out["in_scale"] = jnp.maximum(
+                    jnp.asarray(v, jnp.float32), 1e-6) / 127.0
+            else:
+                out[k] = convert(v)
+        return out
+
+    return {"quant": convert(dict(absmax))}
+
+
 def make_serving_fn(module, variables, class_num, version,
                     threshold=0.5, nms_mode=1, nms_threshold=0.45,
-                    nms_sigma=0.5, max_boxes=128):
+                    nms_sigma=0.5, max_boxes=128, quant=None):
     """Build the full inference program with weights closed over
     (embedded as compile-time constants): eval-mode forward +
     device decode + device NMS. Returns ``fn(images) -> (rows, keep)``
     with rows ``(N, max_boxes, 7)`` = [x, y, w, h, conf, class_idx,
     class_prob] and keep ``(N, max_boxes)`` bool.
+
+    ``quant``: scales tree from :func:`calibrate_int8` — routes every
+    calibrated ConvBN through the static-scale int8 MXU path.
     """
     from .ops.decode import decode_multi_level
     from .ops.nms import apply_nms_device
 
     frozen = jax.tree_util.tree_map(jnp.asarray, variables)
+    if quant:
+        frozen = dict(frozen, **jax.tree_util.tree_map(
+            jnp.asarray, quant))
 
     def serve(images):
         outs = module.apply(frozen, images, train=False)

@@ -140,12 +140,35 @@ class ConvBN(nn.Module):
         fused = FUSED_CONVBN if self.fused is None else self.fused
         if not (fused and self.use_bn):
             return False
+        # Lane-width gate (global default only — an explicit
+        # ``fused=True`` forces the kernel, e.g. CPU parity tests):
+        # below 128 channels the VMEM tiles half-fill the 128-lane
+        # registers and the kernel runs ~3.6x slower than XLA's conv
+        # (measured 13.9 vs 3.8 ms on 208^2x64); at >=128 channels it
+        # is ~35% FASTER (3.7 vs 5.8 ms on the same-byte 104^2x128
+        # shape). XLA keeps the sub-128-channel layers.
+        if self.fused is None and (x.shape[-1] < 128
+                                   or self.features < 128):
+            return False
+        # Mosaic sublane tiling: partial-block stores need the W
+        # extent 8-aligned ("Slice shape along dimension 2 must be
+        # aligned to tiling (8)") — the 52^2/26^2/13^2 stages of a
+        # 416^2 net stay on XLA until masked stores land.
+        if self.fused is None and (x.shape[2] % 8
+                                   or (x.shape[2] // self.strides) % 8):
+            return False
         if self.kernel == 1 and self.strides == 1:
             return True
         if self.kernel == 3 and x.shape[1] >= 5 and x.shape[2] >= 5:
             if self.strides == 1:
                 return True
-            if self.strides == 2 and self.darknet_pad \
+            # stride 2: Mosaic cannot lower the kernel's stride-2
+            # row/column vector slices (vector.extract_strided_slice
+            # with stride 2 fails to legalize on v5e) — these five
+            # downsample convs stay on XLA unless explicitly forced
+            # (CPU interpret-mode tests still cover the kernel).
+            if self.strides == 2 and self.fused is not None \
+                    and self.darknet_pad \
                     and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
                 return True
         return False
@@ -186,8 +209,56 @@ class ConvBN(nn.Module):
                * scale.astype(dt) + bias.astype(dt))
         return (_ACTS if train else _ACTS_EVAL)[self.act](out)
 
+    def _quant_call(self, x):
+        """Static-scale int8 inference path (eval only): the input is
+        quantized with the CALIBRATED per-layer scale (no per-batch
+        max passes — the round-2 dynamic-quant dead end, BASELINE.md),
+        weights with per-output-channel scales folded at trace time,
+        and the conv runs s8 x s8 -> s32 on the MXU (~2x the bf16
+        rate). Dequant + BN (running stats) + bias collapse into one
+        per-channel affine epilogue; the activation stays bf16/f32.
+        Symmetric quantization, so SAME zero-padding is exact."""
+        use_bias = (not self.use_bn) if self.use_bias is None \
+            else self.use_bias
+        k, b = _ConvKernel(self.features, self.kernel, use_bias,
+                           name="conv")(x.shape[-1])
+        scale, bias, ra_mean, ra_var = _BNState(
+            self.features, name="bn")()
+        sx = self.get_variable("quant", "in_scale")
+        kf = k.astype(jnp.float32)
+        sw = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)),
+                         1e-8) / 127.0
+        wq = jnp.clip(jnp.round(kf / sw), -127, 127).astype(jnp.int8)
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                      -127, 127).astype(jnp.int8)
+        if self.strides == 2 and self.darknet_pad:
+            xq = jnp.pad(xq, ((0, 0), (1, 0), (1, 0), (0, 0)))
+            padding = "VALID"
+        else:
+            padding = "SAME"
+        yi = jax.lax.conv_general_dilated(
+            xq, wq, (self.strides, self.strides), padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        s_bn = scale * jax.lax.rsqrt(ra_var.value + 1e-3)
+        t_bn = bias - ra_mean.value * s_bn
+        out = yi.astype(jnp.float32) * (sx * sw * s_bn) + t_bn
+        if b is not None:
+            out = out + b * s_bn
+        return _ACTS_EVAL[self.act](out.astype(self.dtype))
+
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if not train and self.use_bn:
+            # calibration capture (no-op unless the caller passes
+            # mutable=["quant_calib"]) and the static-scale int8 path
+            # (active when a calibrated "quant" collection is given)
+            self.sow("quant_calib", "in_absmax",
+                     jnp.max(jnp.abs(x)).astype(jnp.float32),
+                     reduce_fn=jnp.maximum,
+                     init_fn=lambda: jnp.zeros((), jnp.float32))
+            if self.has_variable("quant", "in_scale"):
+                return self._quant_call(x)
         if self._fusable(x):
             return self._fused_call(x, train)
 

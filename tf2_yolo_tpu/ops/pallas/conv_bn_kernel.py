@@ -56,11 +56,15 @@ def _round_up(x, m):
 # ---------------------------------------------------------------------------
 
 def _conv1x1_kernel(x_ref, w_ref, b_ref, y_ref, s1_ref, s2_ref,
-                    *, h, th):
+                    *, h, w, th, wp):
     """Grid (N, H-tiles) over the NATIVE NHWC layout — reshaping to
     (N*H*W, C) at the pallas boundary forces XLA to physically
     relayout 2 activation-sized arrays (tiled layouts differ), which
-    measured +10 ms on the 208^2x64 layer. Blocks stay 4D instead."""
+    measured +10 ms on the 208^2x64 layer. Blocks stay 4D instead.
+    The block W dim is padded to a multiple of 8 (Mosaic sublane
+    tiling requires it — the 52^2/26^2/13^2 stages are unaligned);
+    out-of-image rows AND columns are select-masked out of the
+    statistics (safe even against NaN/inf in the padding garbage)."""
     n_i = pl.program_id(0)
     t_i = pl.program_id(1)
 
@@ -69,7 +73,7 @@ def _conv1x1_kernel(x_ref, w_ref, b_ref, y_ref, s1_ref, s2_ref,
         s1_ref[:] = jnp.zeros_like(s1_ref)
         s2_ref[:] = jnp.zeros_like(s2_ref)
 
-    xv = x_ref[0]                        # (th, W, Ci)
+    xv = x_ref[0]                        # (th, Wp, Ci)
     yf = jax.lax.dot_general(
         xv, w_ref[:], (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -77,11 +81,11 @@ def _conv1x1_kernel(x_ref, w_ref, b_ref, y_ref, s1_ref, s2_ref,
     y = yf.astype(y_ref.dtype)
     y_ref[:] = y[None]
 
-    # last-tile rows past the image are padding garbage — select to 0
-    # (jnp.where is a select: safe even against NaN/inf)
     rows = (jax.lax.broadcasted_iota(jnp.int32, (th, 1, 1), 0)
             + t_i * th)
-    yz = jnp.where(rows < h, y.astype(jnp.float32), 0.0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, wp, 1), 1)
+    valid = jnp.logical_and(rows < h, cols < w)
+    yz = jnp.where(valid, y.astype(jnp.float32), 0.0)
     s1_ref[:] += jnp.sum(yz, axis=(0, 1)).reshape(1, -1)
     s2_ref[:] += jnp.sum(yz * yz, axis=(0, 1)).reshape(1, -1)
 
@@ -104,13 +108,14 @@ def _conv1x1_stats_fwd_impl(x, w, b):
     n, h, wd, ci = x.shape
     co = w.shape[-1]
     wm = w.reshape(ci, co)
-    th = _pick_rows(h, wd, ci, co, jnp.dtype(x.dtype).itemsize)
+    wp = _round_up(wd, 8)
+    th = _pick_rows(h, wp, ci, co, jnp.dtype(x.dtype).itemsize)
 
     y, s1, s2 = pl.pallas_call(
-        functools.partial(_conv1x1_kernel, h=h, th=th),
+        functools.partial(_conv1x1_kernel, h=h, w=wd, th=th, wp=wp),
         grid=(n, pl.cdiv(h, th)),
         in_specs=[
-            pl.BlockSpec((1, th, wd, ci), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, th, wp, ci), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ci, co), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -118,7 +123,7 @@ def _conv1x1_stats_fwd_impl(x, w, b):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, th, wd, co), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, th, wp, co), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, co), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -209,7 +214,7 @@ conv1x1_stats.defvjp(_conv1x1_stats_fwd, _conv1x1_stats_bwd)
 # (rows, W, Ci) x (Ci, Co) MXU dots accumulated in f32.
 
 def _conv3x3_kernel(x_hbm, w_ref, b_ref, y_ref, s1_ref, s2_ref,
-                    xt, sem, *, h, w, ci, th, stride, h_out):
+                    xt, sem, *, h, w, ci, th, stride, h_out, w_blk):
     n_i = pl.program_id(0)
     t_i = pl.program_id(1)
     first = jnp.logical_and(n_i == 0, t_i == 0)
@@ -240,18 +245,24 @@ def _conv3x3_kernel(x_hbm, w_ref, b_ref, y_ref, s1_ref, s2_ref,
     cp.wait()
 
     xv = xt[:]
-    xc = jax.lax.slice(xv, (1, 0, 0), (1 + rows_needed, w + 2, ci))
+    w_scr = xv.shape[1]
+    # row slice only — full (8-aligned) scratch width, Mosaic requires
+    # slice shapes on the sublane axis be multiples of the (8, 128)
+    # tiling (52/26/13-wide stages are unaligned)
+    xc = jax.lax.slice(xv, (1, 0, 0), (1 + rows_needed, w_scr, ci))
     row_ids = (jax.lax.broadcasted_iota(
         jnp.int32, (rows_needed, 1, 1), 0) + row0)
     valid = jnp.logical_and(row_ids >= 0, row_ids < h)
     xc = jnp.where(valid, xc, jnp.zeros_like(xc))
 
-    w_out = y_ref.shape[2]
-    acc = jnp.zeros((th, w_out, y_ref.shape[3]), jnp.float32)
+    w_out = w // stride
+    acc = jnp.zeros((th, w_blk, y_ref.shape[3]), jnp.float32)
     for ky in range(3):
         for kx in range(3):
             if stride == 1:
-                xs = xc[ky:ky + th, kx:kx + w, :]
+                # (th, w_blk) windows: w_blk is 8-aligned; columns
+                # past w+2 are scratch zeros, masked from the stats
+                xs = xc[ky:ky + th, kx:kx + w_blk, :]
             else:
                 rows = jax.lax.slice(
                     xc, (ky, 0, 0), (ky + 2 * th - 1, w + 2, ci),
@@ -267,10 +278,12 @@ def _conv3x3_kernel(x_hbm, w_ref, b_ref, y_ref, s1_ref, s2_ref,
     y = yf.astype(y_ref.dtype)
     y_ref[:] = y[None]
 
-    # last-tile output rows past the image are padding — mask them
+    # mask padding rows (last tile) and padding columns out of stats
     out_rows = (jax.lax.broadcasted_iota(
         jnp.int32, (th, 1, 1), 0) + t_i * th)
-    yz = jnp.where(out_rows < h_out, y.astype(jnp.float32), 0.0)
+    out_cols = jax.lax.broadcasted_iota(jnp.int32, (1, w_blk, 1), 1)
+    ok = jnp.logical_and(out_rows < h_out, out_cols < w_out)
+    yz = jnp.where(ok, y.astype(jnp.float32), 0.0)
     s1_ref[:] += jnp.sum(yz, axis=(0, 1)).reshape(1, -1)
     s2_ref[:] += jnp.sum(yz * yz, axis=(0, 1)).reshape(1, -1)
 
@@ -302,13 +315,18 @@ def _conv3x3_stats_fwd_impl(x, w, b, stride):
     n, h, wd, ci = x.shape
     co = w.shape[-1]
     h_out, w_out = h // stride, wd // stride
-    th = _pick_tile_h(h, h_out, wd, ci, co,
+    # stride 1 blocks/scratch are 8-aligned on the sublane (W) axis
+    # (Mosaic tiling); stride 2 keeps exact widths (interpret-only —
+    # its strided slices don't legalize on hardware)
+    w_blk = _round_up(w_out, 8) if stride == 1 else w_out
+    w_scr = w_blk + 8 if stride == 1 else wd + 2
+    th = _pick_tile_h(h, h_out, w_scr, ci, co,
                       jnp.dtype(x.dtype).itemsize, stride)
     rows_needed = (2 * th + 1) if stride == 2 else (th + 2)
 
     kernel = functools.partial(
         _conv3x3_kernel, h=h, w=wd, ci=ci, th=th, stride=stride,
-        h_out=h_out)
+        h_out=h_out, w_blk=w_blk)
 
     y, s1, s2 = pl.pallas_call(
         kernel,
@@ -321,7 +339,7 @@ def _conv3x3_stats_fwd_impl(x, w, b, stride):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, th, w_out, co),
+            pl.BlockSpec((1, th, w_blk, co),
                          lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, co), lambda i, j: (0, 0),
@@ -335,7 +353,7 @@ def _conv3x3_stats_fwd_impl(x, w, b, stride):
             jax.ShapeDtypeStruct((1, co), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((rows_needed + 2, wd + 2, ci), x.dtype),
+            pltpu.VMEM((rows_needed + 2, w_scr, ci), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=_interpret(),
