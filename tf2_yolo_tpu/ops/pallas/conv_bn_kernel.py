@@ -181,18 +181,33 @@ def _ref_conv1x1(x, w, b):
     return (y + b.astype(jnp.float32)).astype(x.dtype)
 
 
+def _vjp_conv(x, w, stride, pad1x1):
+    """Conv in x.dtype for the backward (no preferred_element_type:
+    its f32 cotangent would mix with bf16 operands inside the conv
+    transpose and XLA rejects mixed-dtype convs; the MXU accumulates
+    f32 internally either way, matching nn.Conv's gradient
+    precision)."""
+    if pad1x1:
+        pad = "VALID"
+        strides = (1, 1)
+    else:
+        pad = ((1, 1), (1, 1)) if stride == 1 else ((1, 0), (1, 0))
+        strides = (stride, stride)
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), strides, pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 def _conv1x1_stats_bwd(res, cts):
     x, w, y = res
     dy, ds1, ds2 = cts
     g = _dy_eff(dy, ds1, ds2, y)
     # NHWC conv VJP (not reshaped 2D dots: those force tiled-layout
     # relayout copies of activation-sized arrays)
-    zero_b = jnp.zeros((w.shape[-1],), x.dtype)
-    _, vjp = jax.vjp(lambda xx, ww: _ref_conv1x1(xx, ww, zero_b),
-                     x, w)
+    _, vjp = jax.vjp(lambda xx, ww: _vjp_conv(xx, ww, 1, True), x, w)
     dx, dw = vjp(g)
     db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2)).astype(x.dtype)
-    return dx, dw, db
+    return dx, dw.astype(w.dtype), db
 
 
 conv1x1_stats.defvjp(_conv1x1_stats_fwd, _conv1x1_stats_bwd)
@@ -392,12 +407,11 @@ def _conv3x3_stats_bwd(stride, res, cts):
     x, w, y = res
     dy, ds1, ds2 = cts
     g = _dy_eff(dy, ds1, ds2, y)
-    zero_b = jnp.zeros((w.shape[-1],), x.dtype)
     _, vjp = jax.vjp(
-        lambda xx, ww: _ref_conv3x3(xx, ww, zero_b, stride), x, w)
+        lambda xx, ww: _vjp_conv(xx, ww, stride, False), x, w)
     dx, dw = vjp(g)
     db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2)).astype(x.dtype)
-    return dx, dw, db
+    return dx, dw.astype(w.dtype), db
 
 
 conv3x3_stats.defvjp(_conv3x3_stats_fwd, _conv3x3_stats_bwd)
