@@ -33,10 +33,14 @@ ACCUM = int(os.environ.get("BENCH_ACCUM", "1"))
 # (+1.2% over the 441 default) but the compile takes ~20 min, so it
 # stays opt-in rather than the bench default.
 XLA_OPTS = json.loads(os.environ.get("BENCH_XLA_OPTS", "{}"))
-# BENCH_FUSED=0 disables the Pallas fused conv+BN-statistics path
+# BENCH_FUSED=1 enables the Pallas fused conv+BN-statistics path
 # (models/layers.py set_fused_convbn); the lane-width gate keeps
-# sub-128-channel layers on XLA either way.
-FUSED = os.environ.get("BENCH_FUSED", "1") == "1"
+# sub-128-channel layers on XLA either way. Measured end-to-end LOSS
+# (351 vs 441 img/s, round 3): XLA already fuses the stat reduce into
+# its convs and the custom-VJP backward materializes an extra
+# activation-sized cotangent per fused layer. Off by default; see
+# BASELINE.md "fused conv+BN" entry.
+FUSED = os.environ.get("BENCH_FUSED", "0") == "1"
 
 
 def main():

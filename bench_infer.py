@@ -90,6 +90,21 @@ def main():
     folded = jax.device_put(fold_batch_norm(variables))
     variants["folded"] = rate(lambda v, x: infer_xla(folded, x))
 
+    # static-scale calibrated int8 (export.calibrate_int8): activations
+    # quantized with per-layer scales fixed at calibration time (no
+    # per-batch max passes — the round-2 dynamic-quant dead end),
+    # weights per-output-channel at trace time, s8xs8->s32 convs on
+    # the MXU with dequant+BN+bias collapsed into one affine epilogue.
+    # Same jitted fn; the added "quant" collection retriggers trace.
+    if os.environ.get("BENCH_INT8", "1") == "1":
+        from tf2_yolo_tpu.export import calibrate_int8
+        calib = [np.clip(rng.rand(8, SIZE, SIZE, 3)
+                         + 0.1 * rng.randn(8, SIZE, SIZE, 3),
+                         0, 1).astype(np.float32) for _ in range(2)]
+        quant = calibrate_int8(module, variables, calib)
+        qvars = jax.device_put({**variables, **quant})
+        variants["int8"] = rate(lambda v, x: infer_xla(qvars, x))
+
     best = max(variants, key=variants.get)
     img_per_sec = variants[best]
     print(json.dumps({
