@@ -263,6 +263,67 @@ def test_spatial_partitioning_forward_and_train():
                                    rtol=2e-4, atol=2e-6)
 
 
+def test_spatial_halo_exchange_is_thin():
+    """Pin the STRUCTURE of the spatial partitioning's compiled
+    communication, not just its values: GSPMD must implement the conv
+    overlap as collective-permutes of halo-THIN row slices between
+    neighboring spatial shards. A regression in the sharding
+    annotations typically degrades to all-gathering the height axis —
+    which still passes the value test above while moving every
+    activation over ICI (the round-2 multichip dryrun's 20 s
+    rendezvous warnings were single-core thread serialization of the
+    8 virtual devices, but this is the failure mode they'd mask on
+    real hardware)."""
+    import re
+    from tf2_yolo_tpu.parallel import (make_mesh_spatial,
+                                       spatial_sharding)
+
+    state, step, x, y = _setup(batch=4)
+    mesh = make_mesh_spatial(n_data=2, n_space=4)
+    xs = jax.device_put(jnp.asarray(x), spatial_sharding(mesh))
+    ys = jax.device_put(jnp.asarray(y), batch_sharding(mesh))
+    st = jax.device_put(state, replicated(mesh))
+    hlo = jax.jit(step).lower(st, xs, (ys,)).compile().as_text()
+
+    # x is (4,64,64,3) over space=4 -> 16-row shards (8 after the
+    # first stride-2 conv); every 4D collective-permute must be
+    # halo-thin in H. Legitimate maxima observed: 3x3 forward halos
+    # are 2-3 rows, stride-2 backward (input-cotangent) halos up to 6,
+    # and the 8x8 avg-pool exchanges whole 4-row stage-2 shards. A
+    # height-axis gather of the 16-row input shards would exceed this.
+    cperms = re.findall(
+        r"collective-permute[^=]*=\s*\S+?\[([\d,]+)\]", hlo)
+    shapes = [tuple(int(d) for d in s.split(",")) for s in cperms]
+    conv_halos = [s for s in shapes if len(s) == 4]
+    assert conv_halos, (
+        "no conv halo exchange found — spatial sharding not engaged?")
+    for s in conv_halos:
+        assert s[1] <= 6, (
+            f"collective-permute moves a {s[1]}-row slice (shape {s})"
+            f" — halo exchange degraded to bulk activation movement")
+
+    # total permute traffic stays a small fraction of the activations
+    # it shadows. Halos + the pool's end-of-spatial-axis reshard (the
+    # 8x8 window collapses H to 2, funneling stage-2 shards to one
+    # device — those pairs legitimately hop >1) measure ~44k floats vs
+    # ~147k forward activation floats; a height-axis redistribution of
+    # any full stage roughly doubles it.
+    act_floats = 4 * (64 * 64 * 3 + 32 * 32 * 16 + 16 * 16 * 32)
+    moved = sum(int(np.prod(s)) for s in conv_halos)
+    assert moved < 0.5 * act_floats, (
+        f"collective-permutes move {moved} floats "
+        f"(~{moved / act_floats:.0%} of forward activations) — "
+        f"spatial comm degraded to bulk redistribution")
+
+    # no height all-gather: any all-gather of a 4D activation would be
+    # >= a full shard; grads/stats all-reduce instead (1D/param-sized)
+    for s in re.findall(r"all-gather[^=]*=\s*\S+?\[([\d,]+)\]", hlo):
+        dims = tuple(int(d) for d in s.split(","))
+        if len(dims) == 4:
+            assert dims[1] <= 6, (
+                f"all-gather of activation rows (shape {dims})")
+
+
 def test_ema_smoothed_updates():
     """ema_decay chains optax.ema after the base optimizer: with plain
     SGD (no momentum) the applied update must equal the debiased EMA
