@@ -21,8 +21,16 @@ def _draw_image(size, boxes, rng):
 def make_dataset(root, n_images=6, size=(96, 96),
                  class_names=("square", "bar"),
                  label_format="labelimg", seed=0,
-                 max_boxes=3, embed_image_data=False):
-    """Write images + annotations; returns (img_dir, label_dir)."""
+                 max_boxes=3, embed_image_data=False,
+                 class_probs=None):
+    """Write images + annotations; returns (img_dir, label_dir).
+
+    ``class_probs``: optional per-class sampling distribution for
+    class-imbalanced sets (BCCD-shaped: one dominant class, one rare —
+    reference README.md BCCD rows). Classes stay visually separable by
+    aspect: class 0 square, odd classes wide bars, even classes >0
+    tall bars.
+    """
     from PIL import Image
 
     rng = np.random.RandomState(seed)
@@ -36,7 +44,16 @@ def make_dataset(root, n_images=6, size=(96, 96),
         n_boxes = rng.randint(1, max_boxes + 1)
         boxes, names = [], []
         for _ in range(n_boxes):
-            cls = rng.randint(len(class_names))
+            cls = rng.choice(len(class_names), p=class_probs)
+            if cls > 0 and cls % 2 == 0:        # tall bar
+                bh = rng.randint(h // 8, h // 3)
+                bw = rng.randint(w // 8, w // 6)
+                x1 = rng.randint(0, w - bw)
+                y1 = rng.randint(0, h - bh)
+                color = rng.randint(100, 255, 3)
+                boxes.append(((x1, y1, x1 + bw, y1 + bh), color))
+                names.append(class_names[cls])
+                continue
             bw = rng.randint(w // 8, w // 3)
             bh = bw if cls == 0 else rng.randint(h // 8, h // 6)
             x1 = rng.randint(0, w - bw)

@@ -185,8 +185,10 @@ def apply_nms_device(rows, valid, class_num=None, nms_mode=1,
     (class ids ride in rows[..., 5]).
 
     ``use_pallas=True`` routes greedy/DIoU NMS through the Pallas
-    kernel (TPU only; K should be a multiple of 128). Soft-NMS always
-    uses the XLA scan path."""
+    kernel (TPU only; K should be a multiple of 128) — an A/B path
+    only: the default batched fixed-point NMS beats it at every K on
+    v5e (BASELINE.md round-3 table). Soft-NMS always uses the XLA
+    scan path."""
     if nms_mode == 0:
         return rows, valid
     if nms_mode == 1:
