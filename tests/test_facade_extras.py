@@ -104,6 +104,13 @@ def test_fit_remainder_batch_mesh_switch(tmp_path):
     # empty-input predict returns an empty array, not a crash
     empty = yolo.model.predict(np.zeros((0, 96, 96, 3), np.float32))
     assert empty.shape[0] == 0
+    # every predict batch is mesh-sharded (no single-device fallback):
+    # 1 image (d=1), a prime short batch (7 -> d=7), and a tail that
+    # pads to the program batch — row-aligned with the full result
+    for n in (1, 5, 6):
+        sub = yolo.model.predict(img[:n], batch_size=4)
+        np.testing.assert_allclose(sub, pred[:n], rtol=2e-5,
+                                   atol=1e-6)
 
 
 def test_invalid_backbone_rejected_at_facade():

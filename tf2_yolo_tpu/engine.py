@@ -463,7 +463,17 @@ class Model:
                       else [self.output_shapes])
             empty = [np.zeros((0, *s[1:]), np.float32) for s in shapes]
             return empty if self.n_outputs > 1 else empty[0]
-        mesh = make_mesh(best_data_axis(min(batch_size, n) or 1))
+        # every batch is mesh-sharded — no single-device fallback. For
+        # multi-batch runs the tail pads to batch_size so ONE compiled
+        # program serves every step (a tail-shaped recompile costs
+        # minutes on TPU); a single short batch pads to the next
+        # multiple of the data axis instead, so e.g. 20 images on an
+        # 8-chip slice run as 3 rows/chip rather than 4 on 5 chips.
+        if n >= batch_size:
+            d = best_data_axis(batch_size)
+        else:
+            d = min(len(jax.devices()), n)
+        mesh = make_mesh(d)
         shard = batch_sharding(mesh)
         # variables may live on a different mesh (e.g. fit() used a
         # smaller data axis) — re-replicate them on this mesh
@@ -471,18 +481,17 @@ class Model:
         outs_acc = None
         for lo in range(0, n, batch_size):
             xb = x[lo:lo + batch_size]
-            pad = 0
-            if xb.shape[0] < batch_size and n > batch_size:
-                pad = batch_size - xb.shape[0]
+            rows = xb.shape[0]
+            target = (batch_size if n > batch_size
+                      else -(-rows // d) * d)
+            if rows < target:
                 xb = np.concatenate(
-                    [xb, np.zeros((pad, *xb.shape[1:]), xb.dtype)])
-            xb = jnp.asarray(xb)
-            if xb.shape[0] % mesh.shape["data"] == 0:
-                xb = jax.device_put(xb, shard)
+                    [xb, np.zeros((target - rows, *xb.shape[1:]),
+                                  xb.dtype)])
+            xb = jax.device_put(jnp.asarray(xb), shard)
             out = self._predict_jit(variables, xb)
             outs = list(out) if isinstance(out, (list, tuple)) else [out]
-            outs = [np.asarray(o)[:batch_size - pad if pad else None]
-                    for o in outs]
+            outs = [np.asarray(o)[:rows] for o in outs]
             if outs_acc is None:
                 outs_acc = [[o] for o in outs]
             else:

@@ -42,10 +42,12 @@ ANCHORS9 = np.stack([np.linspace(0.1, 0.9, 9),
     np.float32)
 
 
-def build_dataset(version, size, classes, n_images, seed):
+def build_dataset(version, size, classes, n_images, seed,
+                  class_probs=None):
     """Synthetic images + annotations -> (imgs, labels) via this
     framework's facade reader (the encoding semantics are
-    parity-tested, so both systems can train on it)."""
+    parity-tested, so both systems can train on it).
+    ``class_probs`` biases class sampling (BCCD-shaped imbalance)."""
     import tempfile
     sys.path.insert(0, os.path.join(ROOT, "tests"))
     from helpers_data import make_dataset
@@ -55,7 +57,7 @@ def build_dataset(version, size, classes, n_images, seed):
     img_dir, lab_dir = make_dataset(
         tmp, n_images=n_images, size=(size, size),
         class_names=tuple(class_names), label_format="labelimg",
-        seed=seed)
+        seed=seed, class_probs=class_probs)
     facade = make_facade(version, size, class_names)
     img, labels = facade.read_file_to_dataset(img_dir, lab_dir)
     return facade, img, labels
@@ -89,9 +91,10 @@ def eval_map(labels, preds, class_names, version):
 
 
 def run_ours(version, size, classes, n_images, epochs, batch_size,
-             lr, seed):
+             lr, seed, holdout=0, class_probs=None):
     facade, img, labels = build_dataset(version, size, classes,
-                                        n_images, seed)
+                                        n_images, seed,
+                                        class_probs=class_probs)
     if version == 1:
         facade.create_model(bbox_num=2)
         loss = facade.loss(binary_weight=0.5)
@@ -107,6 +110,11 @@ def run_ours(version, size, classes, n_images, epochs, batch_size,
     facade.model.fit(img, labels, epochs=epochs,
                      batch_size=batch_size, verbose=0)
     train_s = time.time() - t0
+    if holdout:
+        # held-out eval split: same generator, disjoint seed
+        _, img, labels = build_dataset(version, size, classes,
+                                       holdout, seed + 1000,
+                                       class_probs=class_probs)
     preds = facade.model.predict(img)
     m = eval_map(labels, preds, facade.class_names, version)
     return m, train_s
@@ -164,7 +172,7 @@ def build_ref_losses(version, size, classes):
 
 
 def run_reference(version, size, classes, n_images, epochs,
-                  batch_size, lr, seed):
+                  batch_size, lr, seed, holdout=0, class_probs=None):
     if os.environ.get("TF_USE_LEGACY_KERAS") != "1":
         # legacy keras must be chosen before TF imports anywhere
         env = dict(os.environ, TF_USE_LEGACY_KERAS="1")
@@ -181,7 +189,7 @@ def run_reference(version, size, classes, n_images, epochs,
     tf.config.optimizer.set_experimental_options({"remapping": False})
 
     _, img, labels = build_dataset(version, size, classes, n_images,
-                                   seed)
+                                   seed, class_probs=class_probs)
     model = build_ref_model(version, size, classes)
     loss = build_ref_losses(version, size, classes)
     model.compile(tf.keras.optimizers.Adam(learning_rate=lr),
@@ -190,6 +198,10 @@ def run_reference(version, size, classes, n_images, epochs,
     t0 = time.time()
     model.fit(img, y, epochs=epochs, batch_size=batch_size, verbose=0)
     train_s = time.time() - t0
+    if holdout:
+        _, img, labels = build_dataset(version, size, classes,
+                                       holdout, seed + 1000,
+                                       class_probs=class_probs)
     preds = model.predict(img, verbose=0)
     class_names = [f"c{i}" for i in range(classes)]
     m = eval_map(labels, preds, class_names, version)
@@ -211,7 +223,17 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--platform", default=None,
                     help="force jax platform (e.g. cpu)")
+    ap.add_argument("--holdout", type=int, default=0,
+                    help="eval on N held-out images (disjoint seed) "
+                         "instead of the training set")
+    ap.add_argument("--imbalance", default=None,
+                    help="comma class probs, e.g. 0.7,0.2,0.1 "
+                         "(BCCD-shaped rare-class check)")
     args = ap.parse_args()
+    class_probs = ([float(x) for x in args.imbalance.split(",")]
+                   if args.imbalance else None)
+    if class_probs is not None:
+        assert len(class_probs) == args.classes
 
     size = args.size or DEFAULT_SIZE[args.version]
     if args.platform and args.system == "ours":
@@ -220,11 +242,15 @@ def main():
 
     fn = run_ours if args.system == "ours" else run_reference
     m, train_s = fn(args.version, size, args.classes, args.images,
-                    args.epochs, args.batch_size, args.lr, args.seed)
+                    args.epochs, args.batch_size, args.lr, args.seed,
+                    holdout=args.holdout, class_probs=class_probs)
+    key = ("map@0.5_voc2012_holdout" if args.holdout
+           else "map@0.5_voc2012_trainset")
     print(json.dumps({
         "system": args.system, "version": args.version, "size": size,
         "classes": args.classes, "images": args.images,
-        "epochs": args.epochs, "map@0.5_voc2012_trainset": round(m, 4),
+        "epochs": args.epochs, "imbalance": args.imbalance,
+        "holdout": args.holdout, key: round(m, 4),
         "train_seconds": round(train_s, 1),
     }))
 
