@@ -44,6 +44,10 @@ FUSED = os.environ.get("BENCH_FUSED", "0") == "1"
 
 
 def main():
+    # persistent compile cache: each remote TPU compile is minutes;
+    # repeated bench runs on the same box should pay it once
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/tmp/jax_bench_cache")
     import jax
     if os.environ.get("BENCH_PLATFORM"):
         jax.config.update("jax_platforms",

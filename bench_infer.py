@@ -32,6 +32,8 @@ BASELINE_IMG_PER_SEC = 75.0
 
 
 def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/tmp/jax_bench_cache")
     import jax
     if os.environ.get("BENCH_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])

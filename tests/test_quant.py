@@ -79,3 +79,30 @@ def test_calibrate_int8_tree_and_serving(tiny_v4):
     # untrained nets sit near the decision threshold, so demand
     # agreement of the confidence field, not the thresholded sets
     assert np.abs(rows_f[..., 4] - rows_q[..., 4]).max() < 0.15
+
+
+def test_int8_serving_artifact_roundtrip(tiny_v4, tmp_path):
+    """save_serving(quant=...) ships the calibrated int8 program in
+    the versioned container: metadata records int8 (the scales tree
+    itself is embedded in the AOT program, not the JSON header), and
+    the reloaded artifact reproduces the in-process int8 outputs."""
+    from tf2_yolo_tpu.export import (calibrate_int8, load_serving,
+                                     make_serving_fn, save_serving)
+
+    module, variables, x, _ = tiny_v4
+    quant = calibrate_int8(module, variables, [x])
+    kw = dict(class_num=2, version=4, threshold=0.3, max_boxes=32)
+
+    path = str(tmp_path / "v4_int8.tysrv")
+    save_serving(path, module, variables, (96, 96, 3),
+                 batch_size=2, fold_bn=False, quant=quant, **kw)
+    served = load_serving(path)
+    assert served.meta["int8"] is True
+    assert "quant" not in served.meta["serving"]
+
+    direct = jax.jit(make_serving_fn(module, variables, quant=quant,
+                                     **kw))
+    rows_d, keep_d = [np.asarray(a) for a in direct(x)]
+    rows_s, keep_s = [np.asarray(a) for a in served(np.asarray(x))]
+    np.testing.assert_allclose(rows_s, rows_d, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(keep_s, keep_d)

@@ -287,9 +287,13 @@ def save_serving(path, module, variables, input_shape, batch_size,
         "class_names": list(class_names) if class_names else None,
         "fold_bn": bool(fold_bn),
         "platforms": list(platforms) if platforms else None,
+        # scalar knobs only; the int8 scales tree (quant=) is embedded
+        # in the AOT programs themselves and recorded as a flag
         "serving": {k: (float(v) if isinstance(v, (int, float))
                         else v)
-                    for k, v in serving_kwargs.items()},
+                    for k, v in serving_kwargs.items()
+                    if k != "quant"},
+        "int8": serving_kwargs.get("quant") is not None,
         "buckets": [{"batch_size": b, "offset": o, "length": len(blob)}
                     for b, o, blob in zip(buckets, offsets, blobs)],
     }
