@@ -132,26 +132,36 @@ def _yolov4_body_mapping():
         m += [(st + ("post",), f"stage{n}_post"),
               (st + ("out",), f"stage{n}_out")]
 
-    m += [(("td1_pre1",), "pan_td1_1"),
-          (("td1_pre2",), "pan_td1_2"),
-          (("td1_spp_pre",), "pan_td1_spp_pre"),
-          (("td1_post1",), "pan_td1_3"),
-          (("td1_post2",), "pan_td1_4"),
-          (("td1_post3",), "pan_td1_5"),
-          (("td1_up",), "pan_td1_up"),
-          (("td2_pre",), "pan_td2_pre")]
+    return m + _yolov4_neck_mapping(
+        ("pan_out_l", "pan_out_m", "pan_out_s"))
+
+
+def _yolov4_neck_mapping(out_names):
+    """[(our_module_path, reference_base_name)] for the v4 SPP/PAN
+    neck. The csp ``yolo_body`` and the keras-applications
+    ``yolo_keras_app_body`` share every neck layer name except the
+    output convs: ``pan_out_{l,m,s}`` (yolov4/models/darknet.py:112,
+    :125, :134) vs ``pan_out_{1,2,3}`` (backbone.py:231, :247)."""
+    m = [(("td1_pre1",), "pan_td1_1"),
+         (("td1_pre2",), "pan_td1_2"),
+         (("td1_spp_pre",), "pan_td1_spp_pre"),
+         (("td1_post1",), "pan_td1_3"),
+         (("td1_post2",), "pan_td1_4"),
+         (("td1_post3",), "pan_td1_5"),
+         (("td1_up",), "pan_td1_up"),
+         (("td2_pre",), "pan_td2_pre")]
     for i in range(1, 6):
         m.append((("td2", f"conv{i}"), f"pan_td2_{i}"))
     m += [(("td2_up",), "pan_td2_up"), (("td3_pre",), "pan_td3_pre")]
     for i in range(1, 6):
         m.append((("td3", f"conv{i}"), f"pan_td3_{i}"))
-    m += [(("out_l",), "pan_out_l"), (("bu1_dn",), "pan_bu1_dn")]
+    m += [(("out_l",), out_names[0]), (("bu1_dn",), "pan_bu1_dn")]
     for i in range(1, 6):
         m.append((("bu1", f"conv{i}"), f"pan_bu1_{i}"))
-    m += [(("out_m",), "pan_out_m"), (("bu2_dn",), "pan_bu2_dn")]
+    m += [(("out_m",), out_names[1]), (("bu2_dn",), "pan_bu2_dn")]
     for i in range(1, 6):
         m.append((("bu2", f"conv{i}"), f"pan_bu2_{i}"))
-    m += [(("out_s",), "pan_out_s")]
+    m += [(("out_s",), out_names[2])]
     return m
 
 
@@ -442,18 +452,10 @@ _RESNET_STAGE_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3),
                         152: (3, 8, 36, 3)}
 
 
-def convert_yolov3_resnet(h5_path_or_weights, class_num, depth=50,
-                          abox_num=3, num_levels=3):
-    """Convert a reference YOLOv3 resnet-backbone h5 (keras
-    applications ResNet{50,101,152} + Darknet FPN, reference
-    yolov3/models/backbone.py:98-126, yolov3/__init__.py:143-156) by
-    keras layer name onto the ResNet-backbone YoloV3 trees."""
-    h5w = (h5_path_or_weights
-           if isinstance(h5_path_or_weights, dict)
-           else load_h5_weights(h5_path_or_weights))
-    params, stats = {}, {}
+def _copy_resnet_backbone(h5w, params, stats, depth):
+    """Copy a keras-applications ResNet{50,101,152} backbone by layer
+    name (stem + bottleneck stages) onto our ResNet module tree."""
     B = ("backbone",)
-
     _copy_pair(h5w, "conv1_conv", "conv1_bn", params, stats,
                B + ("stem_conv",), B + ("stem_bn",))
     for s, n_blocks in enumerate(_RESNET_STAGE_BLOCKS[depth],
@@ -469,6 +471,19 @@ def convert_yolov3_resnet(h5_path_or_weights, class_num, depth=50,
                 _copy_pair(h5w, f"{ref}_{i}_conv", f"{ref}_{i}_bn",
                            params, stats, ours + (f"conv{i}",),
                            ours + (f"bn{i}",))
+
+
+def convert_yolov3_resnet(h5_path_or_weights, class_num, depth=50,
+                          abox_num=3, num_levels=3):
+    """Convert a reference YOLOv3 resnet-backbone h5 (keras
+    applications ResNet{50,101,152} + Darknet FPN, reference
+    yolov3/models/backbone.py:98-126, yolov3/__init__.py:143-156) by
+    keras layer name onto the ResNet-backbone YoloV3 trees."""
+    h5w = (h5_path_or_weights
+           if isinstance(h5_path_or_weights, dict)
+           else load_h5_weights(h5_path_or_weights))
+    params, stats = {}, {}
+    _copy_resnet_backbone(h5w, params, stats, depth)
 
     used = set()
     for k in range(1, 4):
@@ -486,6 +501,37 @@ def convert_yolov3_resnet(h5_path_or_weights, class_num, depth=50,
             fused, _ = _fuse_head(h5w, level, abox_num, class_num,
                                   used)
             _set_in(params, (f"head{level}", "conv"), fused)
+    return params, stats
+
+
+def convert_yolov4_resnet(h5_path_or_weights, class_num, depth=50,
+                          abox_num=3, num_levels=3):
+    """Convert a reference YOLOv4 resnet-backbone h5 (keras
+    applications ResNet{50,101,152} + SPP/PAN neck built by
+    ``yolo_keras_app_body``, reference yolov4/models/backbone.py:
+    188-250, facade pan_ids [-33, 80] at yolov4/__init__.py:236-239)
+    by keras layer name onto the ResNet-backbone YoloV4 trees,
+    including the head Anchor-layer weights."""
+    h5w = (h5_path_or_weights
+           if isinstance(h5_path_or_weights, dict)
+           else load_h5_weights(h5_path_or_weights))
+    params, stats = {}, {}
+    _copy_resnet_backbone(h5w, params, stats, depth)
+
+    used = set()
+    for path, base in _yolov4_neck_mapping(
+            ("pan_out_1", "pan_out_2", "pan_out_3")):
+        _copy_convbn(h5w, base, params, stats, path, used)
+
+    if any(key.startswith("out1_box1") for key in h5w):
+        for level in range(1, num_levels + 1):
+            fused, anchors = _fuse_head(h5w, level, abox_num,
+                                        class_num, used)
+            _set_in(params, (f"head{level}", "conv"), fused)
+            if anchors is not None:
+                _set_in(params, (f"head{level}",),
+                        {**params.get(f"head{level}", {}),
+                         "anchors": anchors})
     return params, stats
 
 
