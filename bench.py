@@ -29,10 +29,14 @@ STEPS = int(os.environ.get("BENCH_STEPS", "10"))
 ACCUM = int(os.environ.get("BENCH_ACCUM", "1"))
 # BENCH_XLA_OPTS: JSON dict of per-compile XLA compiler options.
 # These DO reach the remote TPU compiler (env XLA_FLAGS does not).
-# Measured: {"xla_tpu_scoped_vmem_limit_kib": "20480"} -> 446 img/s
-# (+1.2% over the 441 default) but the compile takes ~20 min, so it
-# stays opt-in rather than the bench default.
-XLA_OPTS = json.loads(os.environ.get("BENCH_XLA_OPTS", "{}"))
+# Default: scoped-vmem 24576 — the best measured setting (447.0 vs
+# 441.0 img/s round 3; 20480 -> 446.1, 32768 never finished). The
+# first compile at this option takes ~20 min on the remote compiler,
+# but it is persisted in JAX_COMPILATION_CACHE_DIR (warmed on this
+# box), so repeat runs start in seconds. Set BENCH_XLA_OPTS='{}' to
+# measure the plain-default compile instead.
+XLA_OPTS = json.loads(os.environ.get(
+    "BENCH_XLA_OPTS", '{"xla_tpu_scoped_vmem_limit_kib": "24576"}'))
 # BENCH_FUSED=1 enables the Pallas fused conv+BN-statistics path
 # (models/layers.py set_fused_convbn); the lane-width gate keeps
 # sub-128-channel layers on XLA either way. Measured end-to-end LOSS
@@ -97,9 +101,12 @@ def main():
     state = create_train_state(variables, tx)
     step = jax.jit(make_train_step(module.apply, tx, loss_fns),
                    donate_argnums=0)
-    if XLA_OPTS:
-        step = step.lower(state, x, ys).compile(
-            compiler_options=XLA_OPTS)
+    # the default opts are TPU-specific; skip them on a CPU run unless
+    # the user asked for specific options explicitly
+    opts = XLA_OPTS if (platform != "cpu"
+                        or "BENCH_XLA_OPTS" in os.environ) else {}
+    if opts:
+        step = step.lower(state, x, ys).compile(compiler_options=opts)
 
     for _ in range(WARMUP):
         state, logs = step(state, x, ys)
