@@ -217,6 +217,38 @@ def test_export_buckets_and_metadata(tmp_path):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_export_multiplatform(tmp_path):
+    """One artifact lowered for BOTH cpu and tpu (jax.export
+    platforms=): saving from the CPU host must embed both branches,
+    record them in metadata, and execute the cpu branch with exact
+    parity vs a live program. The tpu branch of the same container was
+    executed on a real v5e chip (round 3): identical detection sets,
+    ordering flips only between near-tied confidences (TPU
+    default-precision convs)."""
+    module = _TinyDet()
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3),
+                    jnp.float32)
+    variables = _randomize(
+        module.init(jax.random.PRNGKey(0), x, train=False), 8)
+
+    path = str(tmp_path / "tiny_mp.serving")
+    save_serving(path, module, variables, input_shape=(32, 32, 3),
+                 batch_size=2, class_num=3, version=2,
+                 threshold=0.1, max_boxes=16,
+                 platforms=["cpu", "tpu"])
+    served = load_serving(path)
+    assert served.meta["platforms"] == ["cpu", "tpu"]
+    rows, keep = served(x)
+
+    live = make_serving_fn(module, variables, class_num=3, version=2,
+                           threshold=0.1, max_boxes=16)
+    rows_ref, keep_ref = jax.jit(live)(x)
+    np.testing.assert_array_equal(np.asarray(keep),
+                                  np.asarray(keep_ref))
+    np.testing.assert_allclose(np.asarray(rows), np.asarray(rows_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_facade_export_model(tmp_path):
     from tf2_yolo_tpu import yolov3
 
