@@ -29,6 +29,11 @@ STEPS = int(os.environ.get("BENCH_STEPS", "20"))
 # the same assumed tf.keras-GPU order as bench.py, scaled to inference
 # (~3x its training rate).
 BASELINE_IMG_PER_SEC = 75.0
+# BENCH_XLA_OPTS: JSON dict of per-compile XLA compiler options (see
+# bench.py). When set, only the deployment variants (folded, int8) are
+# measured — each option set is a fresh ~20-min remote compile per
+# program, so the diagnostic variants (xla, pallas) are skipped.
+XLA_OPTS = json.loads(os.environ.get("BENCH_XLA_OPTS", "{}"))
 
 
 def main():
@@ -80,9 +85,19 @@ def main():
         return BATCH * STEPS / (time.perf_counter() - t0)
 
     infer_xla = make_infer(False)
-    variants = {"xla": rate(infer_xla)}
-    if platform == "tpu":
-        variants["pallas"] = rate(make_infer(True))
+
+    def with_opts(fn, *args):
+        """Compile ``fn`` for ``args`` under XLA_OPTS; returns a
+        positional-call executable (same signature as the jitted fn)."""
+        if not XLA_OPTS:
+            return fn
+        return fn.lower(*args).compile(compiler_options=XLA_OPTS)
+
+    variants = {}
+    if not XLA_OPTS:
+        variants["xla"] = rate(infer_xla)
+        if platform == "tpu":
+            variants["pallas"] = rate(make_infer(True))
 
     # the deployment path: BN folded into conv kernels (export.py);
     # the SAME jitted program (no recompile), folded variables passed
@@ -90,7 +105,8 @@ def main():
     # artifact — here it would just bloat the benchmark compile)
     from tf2_yolo_tpu.export import fold_batch_norm
     folded = jax.device_put(fold_batch_norm(variables))
-    variants["folded"] = rate(lambda v, x: infer_xla(folded, x))
+    folded_fn = with_opts(infer_xla, folded, x)
+    variants["folded"] = rate(lambda v, x: folded_fn(folded, x))
 
     # static-scale calibrated int8 (export.calibrate_int8): activations
     # quantized with per-layer scales fixed at calibration time (no
@@ -105,7 +121,8 @@ def main():
                          0, 1).astype(np.float32) for _ in range(2)]
         quant = calibrate_int8(module, variables, calib)
         qvars = jax.device_put({**variables, **quant})
-        variants["int8"] = rate(lambda v, x: infer_xla(qvars, x))
+        int8_fn = with_opts(infer_xla, qvars, x)
+        variants["int8"] = rate(lambda v, x: int8_fn(qvars, x))
 
     best = max(variants, key=variants.get)
     img_per_sec = variants[best]
