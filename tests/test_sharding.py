@@ -105,6 +105,43 @@ def test_full_v2_sharded_loss_close():
     np.testing.assert_allclose(loss8, loss1, rtol=1e-3)
 
 
+def test_tensor_parallel_step_matches_single_device():
+    """Megatron-style channel sharding over the 'model' axis
+    (tensor_parallel_shardings): a (data=4, model=2) mesh must produce
+    the same loss, updated params, and BN statistics as one device —
+    GSPMD inserts the Cin-contraction all-reduces that make the
+    channel-sharded convs exact."""
+    from jax.sharding import PartitionSpec as P
+    from tf2_yolo_tpu.parallel import tensor_parallel_shardings
+
+    state, step, x, y = _setup()
+    s1 = jax.jit(step)(state, jnp.asarray(x), (jnp.asarray(y),))
+    loss1 = float(s1[1]["loss"])
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    rules = tensor_parallel_shardings(state, mesh, min_channels=16)
+    # the rule must actually shard the conv kernels at this gate
+    sharded = [s for s in jax.tree_util.tree_leaves(
+        rules, is_leaf=lambda l: hasattr(l, "spec"))
+        if s.spec != P()]
+    assert sharded, "no leaf was sharded over the model axis"
+    stp = jax.device_put(state, rules)
+    xs = jax.device_put(jnp.asarray(x),
+                        jax.NamedSharding(mesh, P("data")))
+    ys = jax.device_put(jnp.asarray(y),
+                        jax.NamedSharding(mesh, P("data")))
+    stp2, logs = jax.jit(step)(stp, xs, (ys,))
+    np.testing.assert_allclose(float(logs["loss"]), loss1, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1[0].params),
+                    jax.tree_util.tree_leaves(stp2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1[0].batch_stats),
+                    jax.tree_util.tree_leaves(stp2.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-7)
+
+
 def test_best_data_axis():
     assert best_data_axis(8, 8) == 8
     assert best_data_axis(6, 8) == 6

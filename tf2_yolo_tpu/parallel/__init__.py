@@ -1,7 +1,8 @@
 """Parallelism: mesh construction, sharded train steps, checkpoints."""
 
 from .mesh import (make_mesh, make_mesh_spatial, batch_sharding,
-                   spatial_sharding, replicated, best_data_axis)
+                   spatial_sharding, replicated, best_data_axis,
+                   tensor_parallel_shardings)
 from .train import (TrainState, create_train_state, make_train_step,
                     make_eval_step, make_optimizer)
 from .checkpoint import (save_checkpoint, restore_checkpoint,
@@ -10,6 +11,7 @@ from .checkpoint import (save_checkpoint, restore_checkpoint,
 __all__ = [
     "make_mesh", "make_mesh_spatial", "batch_sharding",
     "spatial_sharding", "replicated", "best_data_axis",
+    "tensor_parallel_shardings",
     "TrainState", "create_train_state", "make_train_step",
     "make_eval_step", "make_optimizer",
     "save_checkpoint", "restore_checkpoint", "latest_checkpoint",

@@ -45,6 +45,45 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def tensor_parallel_shardings(tree, mesh: Mesh, min_channels: int = 128,
+                              axis: str = "model"):
+    """Megatron-style channel sharding rules for conv nets, as a
+    pytree of NamedShardings matching ``tree`` (params, batch_stats, a
+    whole TrainState — any pytree of arrays).
+
+    Per leaf:
+      - 4D conv kernels (H, W, Cin, Cout) with Cout divisible by the
+        ``axis`` size and >= ``min_channels``: sharded on Cout.
+      - 2D dense kernels (Cin, Cout): same rule on Cout.
+      - 1D per-channel vectors (conv bias, BN scale/bias and moving
+        stats) meeting the same size rule: sharded on their only dim —
+        they pair with the conv whose Cout they match by construction.
+      - everything else (small kernels, fused detection heads below
+        the channel gate, anchors, optimizer scalars): replicated.
+
+    XLA's SPMD partitioner then derives every activation sharding and
+    inserts the cross-partition collectives (the Cin contraction
+    all-reduces ride ICI). The reference has no model-parallel story
+    at all (SURVEY.md §2.3: absent); at these model sizes TP is about
+    fitting wider variants / larger inputs per chip, not speed — data
+    parallelism remains the default (``make_mesh(n_model=1)``).
+    """
+    n = mesh.shape[axis]
+
+    def rule(leaf):
+        shape = getattr(leaf, "shape", ())
+        if len(shape) >= 2 and shape[-1] >= min_channels \
+                and shape[-1] % n == 0:
+            return NamedSharding(
+                mesh, P(*([None] * (len(shape) - 1) + [axis])))
+        if len(shape) == 1 and shape[0] >= min_channels \
+                and shape[0] % n == 0:
+            return NamedSharding(mesh, P(axis))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(rule, tree)
+
+
 def make_mesh_spatial(n_data: Optional[int] = None, n_space: int = 1,
                       devices: Optional[Sequence] = None) -> Mesh:
     """Create a ("data", "space") mesh for spatial partitioning.
