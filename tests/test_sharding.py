@@ -142,6 +142,30 @@ def test_tensor_parallel_step_matches_single_device():
                                    rtol=1e-4, atol=1e-7)
 
 
+def test_engine_fit_tensor_parallel():
+    """Model.compile(n_model=2): the keras-like engine trains over a
+    (data=4, model=2) mesh with channel-sharded state and produces the
+    same loss trajectory as pure data parallelism."""
+    from tf2_yolo_tpu.engine import Model
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(8, 64, 64, 3).astype(np.float32)
+    y = np.zeros((8, 2, 2, 7), np.float32)
+    y[:, 0, 0] = [0.5, 0.5, 0.3, 0.3, 1, 1, 0]
+    loss_fn = wrap_yolo_loss_v2((2, 2), 2, 2, ANCHORS)
+
+    histories = []
+    for n_model in (1, 2):
+        model = Model(TinyDetector(), (64, 64, 3), seed=0)
+        # tp_min_channels low enough that the 16/32-channel convs
+        # actually shard (default gate is 128 for the real backbones)
+        model.compile("sgd", loss=loss_fn, learning_rate=1e-2,
+                      n_model=n_model, tp_min_channels=16)
+        h = model.fit(x, y, epochs=2, batch_size=8, verbose=0)
+        histories.append(h["loss"])
+    np.testing.assert_allclose(histories[1], histories[0], rtol=1e-5)
+
+
 def test_best_data_axis():
     assert best_data_axis(8, 8) == 8
     assert best_data_axis(6, 8) == 6
