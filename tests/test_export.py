@@ -282,6 +282,47 @@ def test_facade_export_model(tmp_path):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_facade_export_model_int8(tmp_path):
+    """Yolo.export_model(int8_calibration=...) calibrates static
+    scales and ships the int8 program; the artifact loads, reports
+    int8 in metadata, and its detections agree with the float artifact
+    on the same input (loose band: int8 is a lossy format)."""
+    from tf2_yolo_tpu import yolov3
+
+    yolo = yolov3.Yolo(input_shape=(96, 96, 3),
+                       class_names=["a", "b"])
+    anchors = np.stack([np.linspace(0.1, 0.9, 6),
+                        np.linspace(0.2, 0.8, 6)], 1)
+    yolo.create_model(anchors=anchors, backbone="tiny_darknet",
+                      pretrained_body=None)
+    rng = np.random.RandomState(1)
+    x = rng.rand(2, 96, 96, 3).astype(np.float32)
+
+    path = str(tmp_path / "v3tiny_int8.serving")
+    yolo.export_model(path, batch_size=2, threshold=0.05,
+                      max_boxes=32, int8_calibration=[x])
+    served = load_serving(path)
+    assert served.meta["int8"] is True
+    assert served.meta["fold_bn"] is False
+    rows, keep = served(x)
+    assert rows.shape == (2, 32, 7) and keep.shape == (2, 32)
+
+    # the facade must produce exactly the manual calibrate+serve
+    # pipeline (int8-vs-float fidelity itself is pinned by
+    # tests/test_quant.py on a full tiny YOLOv4)
+    from tf2_yolo_tpu.export import calibrate_int8
+    variables = {"params": yolo.model.params,
+                 "batch_stats": yolo.model.batch_stats}
+    quant = calibrate_int8(yolo.model.module, variables, [x])
+    direct = jax.jit(make_serving_fn(
+        yolo.model.module, variables, class_num=2, version=3,
+        threshold=0.05, max_boxes=32, quant=quant))
+    rows_d, keep_d = direct(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(keep), np.asarray(keep_d))
+    np.testing.assert_allclose(np.asarray(rows), np.asarray(rows_d),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_saved_model_export(tmp_path):
     tf = pytest.importorskip("tensorflow")
     from tf2_yolo_tpu.export import save_saved_model

@@ -219,7 +219,8 @@ class YoloBase:
     # ------------------------------------------------------------------
     def export_model(self, path, batch_size=1, threshold=0.5,
                      nms_mode=1, nms_threshold=0.45, nms_sigma=0.5,
-                     max_boxes=128, fold_bn=True, platforms=None):
+                     max_boxes=128, fold_bn=True, platforms=None,
+                     int8_calibration=None):
         """Export a fixed-shape serving artifact (forward + decode +
         NMS, weights embedded, BatchNorm folded) via jax.export.
 
@@ -231,6 +232,13 @@ class YoloBase:
         may be a list of bucket sizes shipped in one artifact; the
         loaded model dispatches per call. The artifact carries
         metadata (class names, thresholds, shapes) in ``.meta``.
+
+        ``int8_calibration``: iterable of sample image batches — when
+        given, static per-layer int8 scales are calibrated on them
+        (export.calibrate_int8) and the artifact ships the int8 MXU
+        program instead (fastest measured serving path on v5e,
+        BASELINE.md; BN folding is skipped because the int8 epilogue
+        already collapses dequant+BN+bias into one affine).
         """
         from .export import save_serving
 
@@ -238,6 +246,12 @@ class YoloBase:
             raise ValueError("Call create_model() before export_model()")
         variables = {"params": self.model.params,
                      "batch_stats": self.model.batch_stats}
+        quant = None
+        if int8_calibration is not None:
+            from .export import calibrate_int8
+            quant = calibrate_int8(self.model.module, variables,
+                                   int8_calibration)
+            fold_bn = False
         return save_serving(
             path, self.model.module, variables,
             input_shape=self.input_shape, batch_size=batch_size,
@@ -246,7 +260,7 @@ class YoloBase:
             fold_bn=fold_bn, platforms=platforms,
             threshold=threshold, nms_mode=nms_mode,
             nms_threshold=nms_threshold, nms_sigma=nms_sigma,
-            max_boxes=max_boxes)
+            max_boxes=max_boxes, quant=quant)
 
     # ------------------------------------------------------------------
     @staticmethod

@@ -1,12 +1,19 @@
-"""K-means anchor fitting (reference utils/kmeans.py parity) plus a
-vectorized on-device variant.
+"""K-means anchor fitting: an on-device JAX implementation
+(``kmeans_jax``, the recommended path) plus a NumPy
+compatibility/oracle path (``kmeans``).
 
-The NumPy path reproduces the reference algorithm exactly (same RNG
-call sequence under a seeded ``np.random``): random init scaled by the
-data range, argmin-assignment, empty clusters re-seeded randomly, loss
-defined as the mean distance between consecutive center sets
-(kmeans.py:43-102). The JAX path (``kmeans_jax``) runs the
-assignment/update steps vectorized under jit for large box sets.
+``kmeans_jax`` runs the assignment/update steps vectorized under jit
+— use it for anything large or on-accelerator.
+
+``kmeans`` exists for one purpose: drop-in determinism parity with
+the reference (reference utils/kmeans.py:43-102) — the same RNG call
+sequence under a seeded ``np.random`` yields the same anchors as a
+seeded reference run (random init scaled by the data range,
+argmin-assignment, empty clusters re-seeded randomly, loss = mean
+distance between consecutive center sets). It is intentionally a
+faithful transcription of that 40-line public algorithm so it can
+serve as the test oracle and as a bit-compatible migration path; it
+is not the performance path.
 """
 
 import numpy as np
