@@ -1,11 +1,14 @@
 """Demo: multi-device training on a mesh (virtual CPU devices here,
 real chips on a TPU slice — the code is identical).
 
-Shows the two sharding strategies:
+Shows the three sharding strategies:
   - data parallel: batch split over the "data" axis (default in
     Model.fit — this script shows the raw pjit path underneath);
   - spatial partitioning: image height additionally split over a
-    "space" axis for inputs too large per device.
+    "space" axis for inputs too large per device;
+  - tensor parallel: wide conv kernels channel-split over a "model"
+    axis for models too wide per device (Model.compile(n_model=N)
+    is the engine-level knob).
 
     XLA_FLAGS=--xla_force_host_platform_device_count=8 \
         python examples/train_sharded.py --cpu
@@ -76,6 +79,20 @@ def main():
         for i in range(args.steps):
             sstate, logs = step(sstate, xs, (ys,))
             print(f"dpxs step {i + 1}: loss {float(logs['loss']):.4f}")
+
+    # -- data x model: tensor parallelism ------------------------------
+    if n_dev % 2 == 0:
+        from tf2_yolo_tpu.parallel import tensor_parallel_shardings
+        tmesh = make_mesh(n_data=n_dev // 2, n_model=2)
+        tstate = create_train_state(variables, tx)
+        tstate = jax.device_put(
+            tstate, tensor_parallel_shardings(tstate, tmesh,
+                                              min_channels=64))
+        xt = jax.device_put(jnp.asarray(x), batch_sharding(tmesh))
+        yt = jax.device_put(jnp.asarray(y), batch_sharding(tmesh))
+        for i in range(args.steps):
+            tstate, logs = step(tstate, xt, (yt,))
+            print(f"dpxm step {i + 1}: loss {float(logs['loss']):.4f}")
 
 
 if __name__ == "__main__":
