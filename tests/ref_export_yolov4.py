@@ -46,13 +46,17 @@ def main():
     rng = np.random.RandomState(0)
     x = rng.rand(2, size, size, 3).astype(np.float32)
     # training=True: batch statistics, so an untrained net stays in a
-    # sane numeric range on both sides
+    # sane numeric range on both sides; eval-mode (moving statistics)
+    # additionally saved — it is noise-free and pins wiring exactly
     outs = model(x, training=True)
+    outs_eval = model(x, training=False)
 
     os.makedirs(outdir, exist_ok=True)
     model.save_weights(os.path.join(outdir, "ref_yolov4.h5"))
     np.savez(os.path.join(outdir, "ref_io.npz"), x=x,
-             **{f"out{i}": np.asarray(o) for i, o in enumerate(outs)})
+             **{f"out{i}": np.asarray(o) for i, o in enumerate(outs)},
+             **{f"ev{i}": np.asarray(o)
+                for i, o in enumerate(outs_eval)})
     print("saved", outdir, [tuple(o.shape) for o in outs])
 
 

@@ -65,11 +65,19 @@ def test_yolov4_forward_matches_reference(ref_export):
     merged = merge_into_variables(
         variables, *convert_yolov4(h5w, class_num=3))
 
+    # eval-mode (moving statistics) pins the wiring and every weight
+    # noise-free; train-mode batch statistics through the random-init
+    # CSP net get a small band (the unseeded keras init makes the
+    # worst-case element drift run-to-run — measured up to ~3e-3)
+    outs_eval = model.apply(merged, jnp.asarray(x), train=False)
+    for i, out in enumerate(outs_eval):
+        np.testing.assert_allclose(np.asarray(out), io[f"ev{i}"],
+                                   atol=1e-5)
     outs, _ = model.apply(merged, jnp.asarray(x), train=True,
                           mutable=["batch_stats"])
     for i, out in enumerate(outs):
         ref = io[f"out{i}"]
-        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=8e-3)
 
 
 def _export_v1v2(tmp_path_factory, version):
