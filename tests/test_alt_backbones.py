@@ -60,3 +60,48 @@ def test_facade_rejects_unknown_backbone():
     yolo = yolov3.Yolo(input_shape=(96, 96, 3), class_names=["a"])
     with pytest.raises(ValueError):
         yolo.create_model(backbone="vgg16", pretrained_body=None)
+
+
+from flax import linen as nn
+
+
+class _ToyBackbone(nn.Module):
+    """Minimal custom backbone: 3 stride-halving stages -> c3/c4/c5."""
+    bn_axis_name: object = None
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        from tf2_yolo_tpu.models import ConvBN
+        kw = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype)
+        x = ConvBN(8, 3, 2, **kw)(x, train)      # /2
+        x = ConvBN(8, 3, 2, **kw)(x, train)      # /4
+        c3 = ConvBN(16, 3, 2, **kw)(x, train)    # /8
+        c4 = ConvBN(32, 3, 2, **kw)(c3, train)   # /16
+        c5 = ConvBN(64, 3, 2, **kw)(c4, train)   # /32
+        return c3, c4, c5
+
+
+@pytest.mark.parametrize("cls", [YoloV3, YoloV4])
+def test_custom_backbone_factory(cls):
+    """Any flax backbone factory plugs into the v3 FPN / v4 PAN neck —
+    the equivalent of the reference's wrap-any-keras-application
+    builders (yolov3/models/backbone.py:98, yolov4 backbone.py:188)."""
+    anchors = np.full((3, 2), 0.3)
+    model = cls(anchors=anchors, class_num=2, backbone=_ToyBackbone)
+    variables, outs = _apply(model, (1, 96, 96, 3))
+    assert [o.shape for o in outs] == [(1, 3, 3, 7), (1, 6, 6, 7),
+                                       (1, 12, 12, 7)]
+    assert "backbone" in variables["params"]
+
+
+def test_facade_accepts_backbone_factory():
+    from tf2_yolo_tpu import yolov4
+    yolo = yolov4.Yolo(input_shape=(96, 96, 3), class_names=["a", "b"])
+    anchors = np.stack([np.linspace(0.1, 0.9, 9),
+                        np.linspace(0.2, 0.8, 9)], 1)
+    yolo.create_model(anchors=anchors.tolist(),
+                      backbone=_ToyBackbone, pretrained_body=None)
+    out = yolo.model.predict(np.zeros((1, 96, 96, 3), np.float32))
+    assert [o.shape for o in out] == [(1, 3, 3, 21), (1, 6, 6, 21),
+                                      (1, 12, 12, 21)]

@@ -31,6 +31,19 @@ def _resnet_from_name(name, **kw):
     return ResNet(depth=depth, preact=preact, **kw, name="backbone")
 
 
+def _custom_backbone(factory, kw):
+    """Instantiate a user-supplied backbone factory.
+
+    The TPU-idiomatic equivalent of the reference's "wrap any keras
+    application" builders (reference yolov3/models/backbone.py:98-126,
+    yolov4/models/backbone.py:188-250): any callable
+    ``factory(bn_axis_name=..., dtype=..., name=...) -> nn.Module``
+    whose module maps ``(x, train) -> (c3, c4, c5)`` feature taps at
+    strides 8/16/32 plugs into the v3 FPN or v4 SPP/PAN neck.
+    """
+    return factory(**kw, name="backbone")
+
+
 def _split_anchors(anchors, num_levels):
     """Split a flat anchor list evenly across output levels, coarse
     level first (reference yolov3/models/__init__.py:29-40)."""
@@ -130,7 +143,7 @@ class YoloV3(nn.Module):
     (reference yolov3/models/darknet.py:71-104)."""
     anchors: Sequence
     class_num: int = 1
-    backbone: str = "full_darknet"
+    backbone: Any = "full_darknet"   # name or module factory
     bn_axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
@@ -150,7 +163,10 @@ class YoloV3(nn.Module):
                           name="tiny_out2")(merged, train)
             feats = [out1, out2]
         else:
-            if self.backbone.startswith("resnet"):
+            if callable(self.backbone):
+                c3, c4, c5 = _custom_backbone(self.backbone, kw)(
+                    x, train)
+            elif self.backbone.startswith("resnet"):
                 c3, c4, c5 = _resnet_from_name(self.backbone, **kw)(
                     x, train)
             else:
@@ -180,7 +196,7 @@ class YoloV4(nn.Module):
      yolov4/models/__init__.py:14-71)."""
     anchors: Sequence
     class_num: int = 1
-    backbone: str = "csp_darknet"
+    backbone: Any = "csp_darknet"    # name or module factory
     bn_axis_name: Optional[str] = None
     remat: bool = False
     dtype: Any = jnp.float32
@@ -188,7 +204,9 @@ class YoloV4(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         kw = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype)
-        if self.backbone.startswith("resnet"):
+        if callable(self.backbone):
+            c3, c4, c5 = _custom_backbone(self.backbone, kw)(x, train)
+        elif self.backbone.startswith("resnet"):
             c3, c4, c5 = _resnet_from_name(self.backbone, **kw)(x, train)
         else:
             c3, c4, c5 = CSPDarknet53(remat=self.remat, **kw,

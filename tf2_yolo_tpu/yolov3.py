@@ -44,13 +44,17 @@ class Yolo(YoloBase):
                      dtype=None):
         """Build the v3 model (reference yolov3/__init__.py:100-181).
 
-        backbone: "full_darknet", "tiny_darknet", or
-        "resnet{50,101,152}{,v2}".
+        backbone: "full_darknet", "tiny_darknet",
+        "resnet{50,101,152}{,v2}", or a factory callable
+        ``f(bn_axis_name=..., dtype=..., name=...) -> flax module``
+        mapping ``(x, train) -> (c3, c4, c5)`` stride-8/16/32 taps —
+        the equivalent of the reference's wrap-any-keras-application
+        builder (reference yolov3/models/backbone.py:98-126).
         """
         valid = ("full_darknet", "tiny_darknet", "resnet50",
                  "resnet101", "resnet152", "resnet50v2",
                  "resnet101v2", "resnet152v2")
-        if backbone not in valid:
+        if not callable(backbone) and backbone not in valid:
             raise ValueError(f"Invalid backbone: {backbone}")
 
         import jax.numpy as jnp

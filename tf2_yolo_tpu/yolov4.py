@@ -150,7 +150,11 @@ class Yolo(YoloBase):
 
         valid = ("csp_darknet", "resnet50", "resnet101", "resnet152",
                  "resnet50v2", "resnet101v2", "resnet152v2")
-        if backbone not in valid:
+        # a factory callable (f(bn_axis_name=..., dtype=..., name=...)
+        # -> flax module yielding (c3, c4, c5) taps) is the equivalent
+        # of the reference's wrap-any-keras-application PAN builder
+        # (reference yolov4/models/backbone.py:188-250)
+        if not callable(backbone) and backbone not in valid:
             raise ValueError(f"Invalid backbone: {backbone}")
 
         import jax.numpy as jnp
