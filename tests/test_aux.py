@@ -63,6 +63,42 @@ def test_checkpoint_save_restore(tmp_path):
                                np.zeros((3,)))
 
 
+def test_checkpoint_tp_sharded_state(tmp_path):
+    """Orbax round-trip of a TENSOR-PARALLEL-sharded TrainState: save
+    from a (data=4, model=2) mesh with channel-sharded leaves, restore
+    into a replicated skeleton, values identical — the resume story
+    must not depend on the sharding the state was trained under."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from tf2_yolo_tpu.parallel import (create_train_state,
+                                       save_checkpoint,
+                                       restore_checkpoint, make_mesh,
+                                       tensor_parallel_shardings)
+
+    tx = optax.adam(1e-3)
+    rng = np.random.RandomState(0)
+    w = rng.rand(3, 3, 8, 32).astype(np.float32)
+    variables = {"params": {"conv": {"kernel": jnp.asarray(w)}},
+                 "batch_stats": {"m": jnp.arange(32, dtype=jnp.float32)}}
+    state = create_train_state(variables, tx)
+    mesh = make_mesh(n_data=4, n_model=2)
+    state = jax.device_put(
+        state, tensor_parallel_shardings(state, mesh, min_channels=32))
+    # the kernel really is sharded over 'model'
+    assert len(state.params["conv"]["kernel"].sharding.device_set) > 1
+
+    ckpt_dir = save_checkpoint(str(tmp_path / "ck_tp"), state)
+    blank = create_train_state(
+        {"params": {"conv": {"kernel": jnp.zeros((3, 3, 8, 32))}},
+         "batch_stats": {"m": jnp.zeros((32,))}}, tx)
+    restored = restore_checkpoint(ckpt_dir, blank)
+    np.testing.assert_allclose(
+        np.asarray(restored.params["conv"]["kernel"]), w)
+    np.testing.assert_allclose(np.asarray(restored.batch_stats["m"]),
+                               np.arange(32, dtype=np.float32))
+
+
 def test_checkpoint_pruning(tmp_path):
     import jax.numpy as jnp
     import optax
