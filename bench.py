@@ -121,12 +121,31 @@ def main():
     img_per_sec = BATCH * STEPS / dt
     batch_tag = (f"b{BATCH}" if ACCUM == 1
                  else f"b{BATCH}x{ACCUM}accum")
+
+    # model FLOP utilization from XLA's own cost analysis of the
+    # compiled step (fwd + bwd + Adam), vs v5e bf16 peak 197 TFLOP/s
+    mfu = None
+    try:
+        if platform != "tpu":
+            raise ValueError("mfu only for tpu")
+        compiled = (step if opts
+                    else step.lower(state, x, ys).compile())
+        cost = compiled.cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops = float(cost.get("flops", 0.0))
+        peak = {"tpu": 197e12}.get(platform)
+        if flops > 0 and peak:
+            mfu = round(flops * STEPS / dt / peak, 4)
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": f"yolov4_train_images_per_sec_{SIZE}px_{batch_tag}_"
                   f"{platform}",
         "value": round(img_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
+        **({"mfu": mfu} if mfu is not None else {}),
     }))
 
 
