@@ -166,6 +166,31 @@ def test_engine_fit_tensor_parallel():
     np.testing.assert_allclose(histories[1], histories[0], rtol=1e-5)
 
 
+def test_put_global_batch():
+    """put_global_batch binds host rows into a P('data')-sharded
+    global array (single-process: equivalent to sharded device_put;
+    the same call is the multi-host assembly path) and feeds the
+    train step to the same loss."""
+    from tf2_yolo_tpu.parallel import (put_global_batch,
+                                       process_batch_slice)
+
+    state, step, x, y = _setup()
+    mesh = make_mesh(8)
+    sl = process_batch_slice(x.shape[0])
+    assert sl == slice(0, 8)            # single-process: all rows
+    xg = put_global_batch(mesh, x[sl])
+    yg = put_global_batch(mesh, y[sl])
+    assert xg.shape == x.shape
+    assert xg.sharding.spec == jax.sharding.PartitionSpec("data")
+    np.testing.assert_array_equal(np.asarray(xg), x)
+
+    loss_ref = float(jax.jit(step)(
+        state, jnp.asarray(x), (jnp.asarray(y),))[1]["loss"])
+    s8 = jax.device_put(state, replicated(mesh))
+    loss_g = float(jax.jit(step)(s8, xg, (yg,))[1]["loss"])
+    np.testing.assert_allclose(loss_g, loss_ref, rtol=1e-5)
+
+
 def test_best_data_axis():
     assert best_data_axis(8, 8) == 8
     assert best_data_axis(6, 8) == 6

@@ -7,6 +7,7 @@ from .train import (TrainState, create_train_state, make_train_step,
                     make_eval_step, make_optimizer)
 from .checkpoint import (save_checkpoint, restore_checkpoint,
                          latest_checkpoint)
+from .input import put_global_batch, process_batch_slice
 
 __all__ = [
     "make_mesh", "make_mesh_spatial", "batch_sharding",
@@ -15,4 +16,5 @@ __all__ = [
     "TrainState", "create_train_state", "make_train_step",
     "make_eval_step", "make_optimizer",
     "save_checkpoint", "restore_checkpoint", "latest_checkpoint",
+    "put_global_batch", "process_batch_slice",
 ]
