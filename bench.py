@@ -52,6 +52,22 @@ def main():
     # repeated bench runs on the same box should pay it once
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           "/tmp/jax_bench_cache")
+
+    # Fail fast instead of hanging forever if the remote-TPU tunnel is
+    # down (jax.devices() blocks in C++ when the axon relay process is
+    # dead — CLAUDE.md env notes). Disarmed once the backend is up.
+    import threading
+    armed = threading.Event()
+
+    def _watchdog():
+        if not armed.wait(float(os.environ.get("BENCH_INIT_TIMEOUT",
+                                               "900"))):
+            print("bench.py: JAX backend failed to initialize "
+                  "(TPU tunnel down?) — aborting instead of hanging",
+                  file=__import__("sys").stderr, flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     import jax
     if os.environ.get("BENCH_PLATFORM"):
         jax.config.update("jax_platforms",
@@ -65,6 +81,7 @@ def main():
                                        make_train_step)
 
     platform = jax.devices()[0].platform
+    armed.set()                     # backend is up; disarm watchdog
     compute_dtype = jnp.bfloat16 if platform != "cpu" else jnp.float32
 
     if FUSED and platform != "cpu":
