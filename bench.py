@@ -56,6 +56,9 @@ def main():
     # Fail fast instead of hanging forever if the remote-TPU tunnel is
     # down (jax.devices() blocks in C++ when the axon relay process is
     # dead — CLAUDE.md env notes). Disarmed once the backend is up.
+    # Verified live against a dead relay (round 3): the blocked axon
+    # client-init RELEASES the GIL, so the daemon thread fires and
+    # os._exit(3) terminates the process.
     import threading
     armed = threading.Event()
 
@@ -119,11 +122,13 @@ def main():
     step = jax.jit(make_train_step(module.apply, tx, loss_fns),
                    donate_argnums=0)
     # the default opts are TPU-specific; skip them on a CPU run unless
-    # the user asked for specific options explicitly
+    # the user asked for specific options explicitly. Always compile
+    # explicitly so the SAME executable serves both the timed loop and
+    # the cost-analysis read below (no second compile).
     opts = XLA_OPTS if (platform != "cpu"
                         or "BENCH_XLA_OPTS" in os.environ) else {}
-    if opts:
-        step = step.lower(state, x, ys).compile(compiler_options=opts)
+    step = step.lower(state, x, ys).compile(
+        compiler_options=opts or None)
 
     for _ in range(WARMUP):
         state, logs = step(state, x, ys)
@@ -140,21 +145,18 @@ def main():
                  else f"b{BATCH}x{ACCUM}accum")
 
     # model FLOP utilization from XLA's own cost analysis of the
-    # compiled step (fwd + bwd + Adam), vs v5e bf16 peak 197 TFLOP/s
+    # timed executable (fwd + bwd + Adam), vs v5e bf16 peak
+    # 197 TFLOP/s
     mfu = None
-    try:
-        if platform != "tpu":
-            raise ValueError("mfu only for tpu")
-        compiled = (step if opts
-                    else step.lower(state, x, ys).compile())
-        cost = compiled.cost_analysis()
-        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-        flops = float(cost.get("flops", 0.0))
-        peak = {"tpu": 197e12}.get(platform)
-        if flops > 0 and peak:
-            mfu = round(flops * STEPS / dt / peak, 4)
-    except Exception:
-        pass
+    if platform == "tpu":
+        try:
+            cost = step.cost_analysis()
+            cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+            flops = float(cost.get("flops", 0.0))
+            if flops > 0:
+                mfu = round(flops * STEPS / dt / 197e12, 4)
+        except Exception:
+            pass
 
     print(json.dumps({
         "metric": f"yolov4_train_images_per_sec_{SIZE}px_{batch_tag}_"

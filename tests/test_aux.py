@@ -85,8 +85,11 @@ def test_checkpoint_tp_sharded_state(tmp_path):
     mesh = make_mesh(n_data=4, n_model=2)
     state = jax.device_put(
         state, tensor_parallel_shardings(state, mesh, min_channels=32))
-    # the kernel really is sharded over 'model'
-    assert len(state.params["conv"]["kernel"].sharding.device_set) > 1
+    # the kernel really is channel-sharded over 'model' (a replicated
+    # placement would also span all devices — assert the spec)
+    from jax.sharding import PartitionSpec as P
+    assert (state.params["conv"]["kernel"].sharding.spec
+            == P(None, None, None, "model"))
 
     ckpt_dir = save_checkpoint(str(tmp_path / "ck_tp"), state)
     blank = create_train_state(

@@ -62,8 +62,9 @@ def main():
     module = facade.model.module
     variables = {"params": facade.model.params,
                  "batch_stats": facade.model.batch_stats}
+    n_calib = min(16, len(img))
     quant = calibrate_int8(module, variables,
-                           [img[i:i + 8] for i in range(0, 16, 8)])
+                           [img[i:i + 8] for i in range(0, n_calib, 8)])
 
     _, heldout_img, heldout_labels = build_dataset(
         4, args.size, args.classes, args.holdout, args.seed + 1000,
