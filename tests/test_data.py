@@ -127,6 +127,27 @@ def test_sequence_shuffle_seed_reproducible(tmp_path):
     assert s1.path_list == s2.path_list
 
 
+def test_sequence_shard_disjoint_exhaustive(tmp_path):
+    """shard(n, i): same-seed sequences split the file list into
+    disjoint, exhaustive, strided shards (the per-process split for a
+    multi-host slice), and sharded batches still load."""
+    img_dir, lab_dir = make_dataset(str(tmp_path), n_images=6)
+    kw = dict(img_path=img_dir, label_path=lab_dir, batch_size=3,
+              size=(96, 96), grid_shape=(6, 6),
+              class_names=["square", "bar"], shuffle=True, seed=3,
+              encoding="utf-8")
+    full = YoloDataSequence(**kw).path_list
+    s0 = YoloDataSequence(**kw).shard(2, 0)
+    s1 = YoloDataSequence(**kw).shard(2, 1)
+    assert len(s0.path_list) == len(s1.path_list) == 3
+    assert not set(s0.path_list) & set(s1.path_list)
+    assert sorted(s0.path_list + s1.path_list) == sorted(full)
+    img, lab = s0[0]
+    assert img.shape == (3, 96, 96, 3) and lab.shape == (3, 6, 6, 7)
+    with pytest.raises(ValueError):
+        YoloDataSequence(**kw).shard(2, 2)
+
+
 def test_sequence_labelme_embedded(tmp_path):
     _, lab_dir = make_dataset(str(tmp_path), n_images=2,
                               label_format="labelme",

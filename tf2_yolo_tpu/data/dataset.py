@@ -135,6 +135,33 @@ class YoloDataSequence:
         self.path_list = names
 
     # ------------------------------------------------------------------
+    def shard(self, num_shards, index=None):
+        """Restrict this sequence to every ``num_shards``-th file
+        (strided over the post-shuffle order) — the per-process data
+        split for a multi-host slice. Pair with
+        ``parallel.put_global_batch`` to bind each process's rows into
+        the global batch. All processes must construct the sequence
+        with the SAME ``seed`` so the strided split is disjoint and
+        exhaustive across them.
+
+        Args:
+            num_shards: total process count.
+            index: this process's shard (default
+                ``jax.process_index()``).
+
+        Returns:
+            self (mutated), for chaining.
+        """
+        if index is None:
+            import jax
+            index = jax.process_index()
+        if not 0 <= index < num_shards:
+            raise ValueError(
+                f"shard index {index} not in [0, {num_shards})")
+        self.path_list = self.path_list[index::num_shards]
+        return self
+
+    # ------------------------------------------------------------------
     @property
     def augmenter(self):
         return self._augmenter
