@@ -225,8 +225,13 @@ def test_early_stopping_mode_max_and_batch_hook():
             batches.append((batch, "loss" in logs))
 
     # mode="max" on a flat loss: never "improves" after epoch 1 ->
-    # patience 2 exhausts -> 3 epochs
+    # patience 2 exhausts -> 3 epochs. shuffle=False makes the loss
+    # actually flat: with lr=0 the params are frozen, but train-mode
+    # BN normalizes with CURRENT-batch statistics, so a reshuffled
+    # batch composition changes per-sample losses — identical batches
+    # every epoch are required for identical epoch losses.
     hist = model.fit(x, y, epochs=10, batch_size=2, verbose=0,
+                     shuffle=False,
                      callbacks=[BatchRecorder(),
                                 EarlyStopping(patience=2, mode="max",
                                               min_delta=1e-3)])
