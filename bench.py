@@ -45,6 +45,15 @@ XLA_OPTS = json.loads(os.environ.get(
 # activation-sized cotangent per fused layer. Off by default; see
 # BASELINE.md "fused conv+BN" entry.
 FUSED = os.environ.get("BENCH_FUSED", "0") == "1"
+# BENCH_BN_SG=1: stop-gradient BatchNorm statistics (models/layers.py
+# set_bn_stats_stop_gradient) — forward/loss identical, backward uses
+# the frozen-statistics approximation, eliminating the per-layer
+# activation re-read reductions the round-2 ablations measured as the
+# whole 441->501 img/s gap. The gradient DIRECTION changes by an O(1)
+# fraction (see the setter docstring); opt-in, convergence-checked via
+# tools/convergence_matrix.py --bn-sg. Exact BN gradients stay the
+# default.
+BN_SG = os.environ.get("BENCH_BN_SG", "0") == "1"
 
 
 def main():
@@ -90,6 +99,9 @@ def main():
     if FUSED and platform != "cpu":
         from tf2_yolo_tpu.models.layers import set_fused_convbn
         set_fused_convbn(True)
+    if BN_SG:
+        from tf2_yolo_tpu.models.layers import set_bn_stats_stop_gradient
+        set_bn_stats_stop_gradient(True)
 
     anchors = np.stack([np.linspace(0.05, 0.75, 9),
                         np.linspace(0.07, 0.65, 9)], axis=1)

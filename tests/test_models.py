@@ -149,3 +149,92 @@ def test_spp_cascade_matches_direct_pools():
               for p in (13, 9, 5)]
     want = np.concatenate([*direct, np.asarray(x)], axis=-1)
     np.testing.assert_array_equal(got, want)
+
+
+def test_bn_stats_stop_gradient_forward_exact_backward_differs():
+    """set_bn_stats_stop_gradient / ConvBN(bn_stats_sg=True): the
+    train-mode forward (outputs AND running-stat updates) is identical
+    to standard flax BatchNorm — only the backward treats mean/var as
+    constants (frozen-statistics backward). The dropped coupling term
+    is NOT numerically small (the incoming cotangent correlates with
+    xhat through the activation derivative), so the assertion is
+    forward-exactness + same-scale finite gradients, not gradient
+    closeness; training fidelity is established empirically
+    (convergence matrix run, BASELINE.md)."""
+    from flax import linen as nn
+    from tf2_yolo_tpu.models.layers import (ConvBN,
+                                            set_bn_stats_stop_gradient)
+
+    class Stack(nn.Module):
+        sg: bool = False
+
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = ConvBN(16, kernel=3, act="leaky", bn_stats_sg=self.sg,
+                       name="c1")(x, train=train)
+            x = ConvBN(16, kernel=1, act="mish", bn_stats_sg=self.sg,
+                       name="c2")(x, train=train)
+            return x
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(2, 8, 8, 3).astype(np.float32))
+    m_ref = Stack(sg=False)
+    m_sg = Stack(sg=True)
+    v = m_ref.init(jax.random.PRNGKey(0), x, train=True)
+    # randomize so BN stats/grads are nontrivial
+    leaves, tree = jax.tree_util.tree_flatten(v)
+    v = jax.tree_util.tree_unflatten(
+        tree, [jnp.asarray(rng.normal(0, 0.5, l.shape), l.dtype)
+               for l in leaves])
+
+    # a fixed random linear probe: generic loss whose gradient is not
+    # dominated by the batch-coupling term (sum(out^2) would be — a
+    # BN output's sum of squares is nearly batch-invariant, making the
+    # exact gradient ~0 and ANY approximation look large)
+    r = jnp.asarray(rng.normal(0, 1, (2, 8, 8, 16)), jnp.float32)
+
+    def loss(mod, params):
+        def f(p):
+            out, mut = mod.apply(
+                {"params": p, "batch_stats": v["batch_stats"]},
+                x, train=True, mutable=["batch_stats"])
+            return jnp.sum(out.astype(jnp.float32) * r), mut
+        (val, mut), grads = jax.value_and_grad(f, has_aux=True)(params)
+        return val, mut, grads
+
+    val0, mut0, g0 = loss(m_ref, v["params"])
+    val1, mut1, g1 = loss(m_sg, v["params"])
+
+    # forward identical (loss value + running-stat updates)
+    np.testing.assert_allclose(float(val0), float(val1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(mut0),
+                    jax.tree_util.tree_leaves(mut1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6)
+
+    # gradients: different (sg engaged), finite, same scale — the
+    # frozen-stats direction, not a perturbation of the exact one
+    ga = np.concatenate([np.asarray(l).ravel()
+                         for l in jax.tree_util.tree_leaves(g0)])
+    gb = np.concatenate([np.asarray(l).ravel()
+                         for l in jax.tree_util.tree_leaves(g1)])
+    assert np.all(np.isfinite(gb))
+    assert not np.allclose(ga, gb, rtol=1e-7, atol=1e-9)
+    ratio = np.linalg.norm(gb) / np.linalg.norm(ga)
+    assert 0.1 < ratio < 10.0
+
+    # eval path is untouched by the knob
+    o_ref = m_ref.apply(v, x, train=False)
+    o_sg = m_sg.apply(v, x, train=False)
+    np.testing.assert_array_equal(np.asarray(o_ref), np.asarray(o_sg))
+
+    # the module-global switch drives the same path
+    set_bn_stats_stop_gradient(True)
+    try:
+        val2, _, g2 = loss(Stack(sg=None), v["params"])
+    finally:
+        set_bn_stats_stop_gradient(False)
+    np.testing.assert_allclose(float(val2), float(val1), rtol=1e-6)
+    gc = np.concatenate([np.asarray(l).ravel()
+                         for l in jax.tree_util.tree_leaves(g2)])
+    np.testing.assert_allclose(gc, gb, rtol=1e-6)

@@ -40,6 +40,39 @@ def set_fused_convbn(on):
     FUSED_CONVBN = bool(on)
 
 
+# Default for ConvBN.bn_stats_sg (see set_bn_stats_stop_gradient).
+BN_STATS_SG = False
+
+
+def set_bn_stats_stop_gradient(on):
+    """Treat BatchNorm batch statistics as CONSTANTS in the backward
+    pass (module-global; per-module override ``ConvBN(bn_stats_sg=)``).
+
+    The forward is unchanged — normalization still uses the exact
+    current-batch mean/var, so loss values and running-stat updates are
+    identical to standard BN. Only the gradient drops the term that
+    backpropagates through mean/var. That term is the reduction pass
+    the round-2 ablations identified as the whole 441->501 img/s gap
+    (BASELINE.md: BN in inference mode saves 34 ms/step — the cost is
+    the stat-coupled backward reductions re-reading every activation);
+    with stats stopped, XLA's backward needs no per-channel reductions
+    of dy and dy*xhat.
+
+    Accuracy: this is the frozen-statistics backward — an
+    APPROXIMATION, not a perturbation. The dropped term subtracts the
+    cotangent's per-channel batch mean and its xhat-projection; since
+    cotangents correlate with xhat through activation derivatives, the
+    gradient direction changes by an O(1) fraction (measured ~1.1-1.5
+    relative norm on random stacks at any batch size). What makes it
+    usable is empirical: training still converges to comparable mAP on
+    the convergence-matrix configs (see BASELINE.md for the measured
+    row). Opt-in only; exact BN gradients remain the default. Set
+    BEFORE building/jitting (read at trace time).
+    """
+    global BN_STATS_SG
+    BN_STATS_SG = bool(on)
+
+
 def mish(x):
     """Mish activation x * tanh(softplus(x))
     (reference yolov4/models/backbone.py:22-37) — training-mode form.
@@ -134,6 +167,7 @@ class ConvBN(nn.Module):
     darknet_pad: bool = True
     bn_axis_name: Optional[str] = None
     fused: Optional[bool] = None
+    bn_stats_sg: Optional[bool] = None    # see set_bn_stats_stop_gradient
     dtype: Any = jnp.float32
 
     def _fusable(self, x):
@@ -197,6 +231,10 @@ class ConvBN(nn.Module):
                 m = m * jax.lax.axis_size(self.bn_axis_name)
             mean = s1 / m
             var = s2 / m - mean * mean
+            if BN_STATS_SG if self.bn_stats_sg is None \
+                    else self.bn_stats_sg:
+                mean = jax.lax.stop_gradient(mean)
+                var = jax.lax.stop_gradient(var)
             if not self.is_initializing():
                 ra_mean.value = (0.99 * ra_mean.value
                                  + 0.01 * jax.lax.stop_gradient(mean))
@@ -283,16 +321,46 @@ class ConvBN(nn.Module):
             name="conv")(x)
 
         if self.use_bn:
-            x = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.99,
-                epsilon=1e-3,
-                dtype=self.dtype,
-                param_dtype=jnp.float32,
-                axis_name=self.bn_axis_name if train else None,
-                name="bn")(x)
+            sg = BN_STATS_SG if self.bn_stats_sg is None \
+                else self.bn_stats_sg
+            if train and sg:
+                x = self._sg_batch_norm(x)
+            else:
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.99,
+                    epsilon=1e-3,
+                    dtype=self.dtype,
+                    param_dtype=jnp.float32,
+                    axis_name=self.bn_axis_name if train else None,
+                    name="bn")(x)
 
         return (_ACTS if train else _ACTS_EVAL)[self.act](x)
+
+    def _sg_batch_norm(self, x):
+        """Train-mode BatchNorm whose statistics are stop_gradient
+        constants in the backward (set_bn_stats_stop_gradient).
+        Forward math mirrors flax.linen.BatchNorm (f32 fast-variance
+        statistics, momentum 0.99, eps 1e-3, optional cross-replica
+        pmean) on the SAME variable tree (_BNState == nn.BatchNorm
+        names/shapes), so checkpoints and the eval path are unaffected."""
+        scale, bias, ra_mean, ra_var = _BNState(
+            self.features, name="bn")()
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        m2 = jnp.mean(xf * xf, axis=(0, 1, 2))
+        if self.bn_axis_name is not None:
+            mean = jax.lax.pmean(mean, self.bn_axis_name)
+            m2 = jax.lax.pmean(m2, self.bn_axis_name)
+        var = m2 - mean * mean
+        mean = jax.lax.stop_gradient(mean)
+        var = jax.lax.stop_gradient(var)
+        if not self.is_initializing():
+            ra_mean.value = 0.99 * ra_mean.value + 0.01 * mean
+            ra_var.value = 0.99 * ra_var.value + 0.01 * var
+        dt = self.dtype
+        mul = (scale * jax.lax.rsqrt(var + 1e-3)).astype(dt)
+        return (x.astype(dt) - mean.astype(dt)) * mul + bias.astype(dt)
 
 
 class ConvActBN(nn.Module):

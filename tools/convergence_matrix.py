@@ -229,6 +229,11 @@ def main():
     ap.add_argument("--imbalance", default=None,
                     help="comma class probs, e.g. 0.7,0.2,0.1 "
                          "(BCCD-shaped rare-class check)")
+    ap.add_argument("--bn-sg", action="store_true",
+                    help="ours only: frozen-statistics BatchNorm "
+                         "backward (set_bn_stats_stop_gradient) — "
+                         "the convergence check for the BENCH_BN_SG "
+                         "speed knob")
     args = ap.parse_args()
     class_probs = ([float(x) for x in args.imbalance.split(",")]
                    if args.imbalance else None)
@@ -240,6 +245,11 @@ def main():
         import jax
         jax.config.update("jax_platforms", args.platform)
 
+    if args.bn_sg:
+        assert args.system == "ours", "--bn-sg only applies to ours"
+        from tf2_yolo_tpu.models.layers import set_bn_stats_stop_gradient
+        set_bn_stats_stop_gradient(True)
+
     fn = run_ours if args.system == "ours" else run_reference
     m, train_s = fn(args.version, size, args.classes, args.images,
                     args.epochs, args.batch_size, args.lr, args.seed,
@@ -250,7 +260,8 @@ def main():
         "system": args.system, "version": args.version, "size": size,
         "classes": args.classes, "images": args.images,
         "epochs": args.epochs, "imbalance": args.imbalance,
-        "holdout": args.holdout, key: round(m, 4),
+        "holdout": args.holdout, "bn_sg": args.bn_sg,
+        key: round(m, 4),
         "train_seconds": round(train_s, 1),
     }))
 
