@@ -54,6 +54,9 @@ FUSED = os.environ.get("BENCH_FUSED", "0") == "1"
 # tools/convergence_matrix.py --bn-sg. Exact BN gradients stay the
 # default.
 BN_SG = os.environ.get("BENCH_BN_SG", "0") == "1"
+# BENCH_BN_SG_SCOPE=backbone: apply the frozen-stats backward only to
+# ConvBN modules whose flax path contains this name (comma-separable).
+BN_SG_SCOPE = os.environ.get("BENCH_BN_SG_SCOPE") or None
 
 
 def main():
@@ -101,7 +104,9 @@ def main():
         set_fused_convbn(True)
     if BN_SG:
         from tf2_yolo_tpu.models.layers import set_bn_stats_stop_gradient
-        set_bn_stats_stop_gradient(True)
+        set_bn_stats_stop_gradient(
+            True, scope=(tuple(BN_SG_SCOPE.split(","))
+                         if BN_SG_SCOPE else None))
 
     anchors = np.stack([np.linspace(0.05, 0.75, 9),
                         np.linspace(0.07, 0.65, 9)], axis=1)

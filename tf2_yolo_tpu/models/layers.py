@@ -42,9 +42,10 @@ def set_fused_convbn(on):
 
 # Default for ConvBN.bn_stats_sg (see set_bn_stats_stop_gradient).
 BN_STATS_SG = False
+BN_STATS_SG_SCOPE = None       # optional module-name filter
 
 
-def set_bn_stats_stop_gradient(on):
+def set_bn_stats_stop_gradient(on, scope=None):
     """Treat BatchNorm batch statistics as CONSTANTS in the backward
     pass (module-global; per-module override ``ConvBN(bn_stats_sg=)``).
 
@@ -64,13 +65,25 @@ def set_bn_stats_stop_gradient(on):
     cotangents correlate with xhat through activation derivatives, the
     gradient direction changes by an O(1) fraction (measured ~1.1-1.5
     relative norm on random stacks at any batch size). What makes it
-    usable is empirical: training still converges to comparable mAP on
-    the convergence-matrix configs (see BASELINE.md for the measured
-    row). Opt-in only; exact BN gradients remain the default. Set
-    BEFORE building/jitting (read at trace time).
+    usable must be established empirically per config — see the
+    measured convergence rows in BASELINE.md before enabling. Opt-in
+    only; exact BN gradients remain the default. Applies to ConvBN
+    blocks (every darknet-family backbone/neck); the v2-UNet ConvActBN
+    keeps exact BN. Set BEFORE building/jitting (read at trace time).
+
+    ``scope``: optional module-name filter — a name (or tuple of
+    names) that must appear in the ConvBN's flax module path for the
+    knob to apply, e.g. ``scope="backbone"`` freezes statistics
+    gradients only in the backbone (its large-M layers) while the
+    neck/head layers keep exact BN backward.
     """
-    global BN_STATS_SG
+    global BN_STATS_SG, BN_STATS_SG_SCOPE
     BN_STATS_SG = bool(on)
+    if scope is None:
+        BN_STATS_SG_SCOPE = None
+    else:
+        BN_STATS_SG_SCOPE = ((scope,) if isinstance(scope, str)
+                             else tuple(scope))
 
 
 def mish(x):
@@ -170,6 +183,15 @@ class ConvBN(nn.Module):
     bn_stats_sg: Optional[bool] = None    # see set_bn_stats_stop_gradient
     dtype: Any = jnp.float32
 
+    def _bn_sg_active(self):
+        if self.bn_stats_sg is not None:
+            return self.bn_stats_sg
+        if not BN_STATS_SG:
+            return False
+        if BN_STATS_SG_SCOPE is None:
+            return True
+        return any(s in self.path for s in BN_STATS_SG_SCOPE)
+
     def _fusable(self, x):
         fused = FUSED_CONVBN if self.fused is None else self.fused
         if not (fused and self.use_bn):
@@ -231,8 +253,7 @@ class ConvBN(nn.Module):
                 m = m * jax.lax.axis_size(self.bn_axis_name)
             mean = s1 / m
             var = s2 / m - mean * mean
-            if BN_STATS_SG if self.bn_stats_sg is None \
-                    else self.bn_stats_sg:
+            if self._bn_sg_active():
                 mean = jax.lax.stop_gradient(mean)
                 var = jax.lax.stop_gradient(var)
             if not self.is_initializing():
@@ -321,9 +342,7 @@ class ConvBN(nn.Module):
             name="conv")(x)
 
         if self.use_bn:
-            sg = BN_STATS_SG if self.bn_stats_sg is None \
-                else self.bn_stats_sg
-            if train and sg:
+            if train and self._bn_sg_active():
                 x = self._sg_batch_norm(x)
             else:
                 x = nn.BatchNorm(

@@ -234,6 +234,9 @@ def main():
                          "backward (set_bn_stats_stop_gradient) — "
                          "the convergence check for the BENCH_BN_SG "
                          "speed knob")
+    ap.add_argument("--bn-sg-scope", default=None,
+                    help="restrict --bn-sg to modules whose path "
+                         "contains this name (e.g. backbone)")
     args = ap.parse_args()
     class_probs = ([float(x) for x in args.imbalance.split(",")]
                    if args.imbalance else None)
@@ -248,7 +251,7 @@ def main():
     if args.bn_sg:
         assert args.system == "ours", "--bn-sg only applies to ours"
         from tf2_yolo_tpu.models.layers import set_bn_stats_stop_gradient
-        set_bn_stats_stop_gradient(True)
+        set_bn_stats_stop_gradient(True, scope=args.bn_sg_scope)
 
     fn = run_ours if args.system == "ours" else run_reference
     m, train_s = fn(args.version, size, args.classes, args.images,
@@ -261,6 +264,7 @@ def main():
         "classes": args.classes, "images": args.images,
         "epochs": args.epochs, "imbalance": args.imbalance,
         "holdout": args.holdout, "bn_sg": args.bn_sg,
+        "bn_sg_scope": args.bn_sg_scope,
         key: round(m, 4),
         "train_seconds": round(train_s, 1),
     }))
