@@ -238,3 +238,47 @@ def test_bn_stats_stop_gradient_forward_exact_backward_differs():
     gc = np.concatenate([np.asarray(l).ravel()
                          for l in jax.tree_util.tree_leaves(g2)])
     np.testing.assert_allclose(gc, gb, rtol=1e-6)
+
+
+def test_bn_sg_scope_limits_to_named_modules():
+    """set_bn_stats_stop_gradient(scope="backbone"): neck/head ConvBN
+    gradients are bitwise those of exact BN (their layers keep the
+    standard backward AND their params are downstream of the sg'd
+    backbone only through forward values, which sg does not change);
+    backbone gradients differ (sg engaged there)."""
+    import jax.tree_util as tu
+    from tf2_yolo_tpu.models import YoloV4
+    from tf2_yolo_tpu.models.layers import set_bn_stats_stop_gradient
+
+    anchors = np.full((9, 2), 0.3)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3),
+                    jnp.float32)
+    m = YoloV4(anchors=anchors, class_num=2)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+
+    def grads(on, scope):
+        set_bn_stats_stop_gradient(on, scope=scope)
+        try:
+            def f(p):
+                outs, _ = m.apply(
+                    {"params": p, "batch_stats": v["batch_stats"]},
+                    x, train=True, mutable=["batch_stats"])
+                return sum(jnp.sum(o.astype(jnp.float32) * (i + 1))
+                           for i, o in enumerate(outs))
+            return jax.grad(f)(v["params"])
+        finally:
+            set_bn_stats_stop_gradient(False)
+
+    g_off = grads(False, None)
+    g_bb = grads(True, "backbone")
+
+    def flat(g, want_backbone):
+        return np.concatenate([
+            np.asarray(l).ravel()
+            for p, l in tu.tree_leaves_with_path(g)
+            if ("backbone" in "".join(str(k) for k in p))
+            == want_backbone])
+
+    np.testing.assert_array_equal(flat(g_bb, False), flat(g_off, False))
+    assert not np.allclose(flat(g_bb, True), flat(g_off, True),
+                           rtol=1e-5)
