@@ -115,6 +115,13 @@ def main():
     # the MXU with dequant+BN+bias collapsed into one affine epilogue.
     # Same jitted fn; the added "quant" collection retriggers trace.
     if os.environ.get("BENCH_INT8", "1") == "1":
+        # BENCH_INT8_MIN_CH=n keeps sub-n-channel layers on bf16 (see
+        # models/layers.py set_int8_min_channels) — the mixed-precision
+        # gate probed for the small-batch int8 losses.
+        min_ch = int(os.environ.get("BENCH_INT8_MIN_CH", "0"))
+        if min_ch:
+            from tf2_yolo_tpu.models.layers import set_int8_min_channels
+            set_int8_min_channels(min_ch)
         from tf2_yolo_tpu.export import calibrate_int8
         calib = [np.clip(rng.rand(8, SIZE, SIZE, 3)
                          + 0.1 * rng.randn(8, SIZE, SIZE, 3),

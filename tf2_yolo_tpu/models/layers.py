@@ -44,6 +44,26 @@ def set_fused_convbn(on):
 BN_STATS_SG = False
 BN_STATS_SG_SCOPE = None       # optional module-name filter
 
+# Channel gate for the static-scale int8 inference path (see
+# set_int8_min_channels). 0 = quantize every calibrated ConvBN.
+INT8_MIN_CHANNELS = 0
+
+
+def set_int8_min_channels(n):
+    """Keep ConvBN layers with min(Cin, Cout) below ``n`` on the
+    bf16 path even when calibrated int8 scales are present.
+
+    Rationale: the s8xs8->s32 MXU rate only beats bf16 when the
+    contraction actually fills the 128-lane registers; below that the
+    layer pays the activation quantize/dequantize VPU passes for no
+    MXU gain (the measured reason int8 loses at small batches —
+    BASELINE.md int8 boundary). Read at trace time — set BEFORE
+    building/jitting the serving program; calibration (absmax sow) is
+    unaffected, so one calibration serves any gate value.
+    """
+    global INT8_MIN_CHANNELS
+    INT8_MIN_CHANNELS = int(n)
+
 
 def set_bn_stats_stop_gradient(on, scope=None):
     """Treat BatchNorm batch statistics as CONSTANTS in the backward
@@ -316,7 +336,9 @@ class ConvBN(nn.Module):
                      jnp.max(jnp.abs(x)).astype(jnp.float32),
                      reduce_fn=jnp.maximum,
                      init_fn=lambda: jnp.zeros((), jnp.float32))
-            if self.has_variable("quant", "in_scale"):
+            if self.has_variable("quant", "in_scale") \
+                    and min(x.shape[-1],
+                            self.features) >= INT8_MIN_CHANNELS:
                 return self._quant_call(x)
         if self._fusable(x):
             return self._fused_call(x, train)
