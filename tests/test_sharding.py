@@ -456,3 +456,40 @@ def test_compile_xla_options_plumbed():
                   xla_options={"xla_not_a_real_flag": "1"})
     with pytest.raises(Exception, match="xla_not_a_real_flag"):
         model.fit(x, y, epochs=1, batch_size=8, verbose=0)
+
+
+def test_dp_allreduce_is_gradient_sized():
+    """Pin the STRUCTURE of data-parallel communication: the sharded
+    train step's all-reduces must move gradient/BN-stat-sized tensors
+    (params are replicated, batch is sharded), never activations. A
+    sharding-annotation regression typically degrades to re-gathering
+    activations across the data axis — value tests still pass (the
+    math is equivalent) while every step pays activation-volume ICI
+    traffic on real hardware."""
+    import re
+
+    state, step, x, y = _setup()
+    mesh = make_mesh(8)
+    st = jax.device_put(state, replicated(mesh))
+    x8 = jax.device_put(jnp.asarray(x), batch_sharding(mesh))
+    y8 = jax.device_put(jnp.asarray(y), batch_sharding(mesh))
+    hlo = jax.jit(step).lower(st, x8, (y8,)).compile().as_text()
+
+    n_params = sum(np.prod(l.shape) for l in
+                   jax.tree_util.tree_leaves(state.params))
+    n_stats = sum(np.prod(l.shape) for l in
+                  jax.tree_util.tree_leaves(state.batch_stats))
+    # smallest activation tensor in this net: conv2 output shards
+    # (8, 16, 16, 32) -> full (global) form 65536 elements; gradient
+    # all-reduces (even combiner-fused) stay well under it.
+    budget = 3 * (n_params + n_stats)
+
+    sizes = []
+    for shape_s in re.findall(
+            r"all-reduce(?:-start)?[^=]*=\s*\(?[a-z0-9]+\[([\d,]*)\]",
+            hlo):
+        dims = [int(d) for d in shape_s.split(",") if d]
+        sizes.append(int(np.prod(dims)) if dims else 1)
+    assert sizes, "expected gradient all-reduces in the DP step HLO"
+    assert max(sizes) <= budget, (max(sizes), budget)
+    assert sum(sizes) <= 4 * budget, (sum(sizes), budget)
