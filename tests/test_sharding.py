@@ -493,3 +493,62 @@ def test_dp_allreduce_is_gradient_sized():
     assert sizes, "expected gradient all-reduces in the DP step HLO"
     assert max(sizes) <= budget, (max(sizes), budget)
     assert sum(sizes) <= 4 * budget, (sum(sizes), budget)
+
+
+def test_tp_collectives_are_channel_gathers():
+    """Pin the STRUCTURE of tensor-parallel communication. With every
+    eligible conv kernel sharded on Cout (tensor_parallel_shardings),
+    GSPMD must resolve consecutive sharded convs by all-gathering the
+    channel-sharded activation over the *model* axis — channel-dim
+    gathers bounded by one layer's activation — while all-reduces stay
+    gradient/BN-stat-sized as in the DP step. A regression typically
+    shows up as batch-dim gathers (resharding the data axis), an
+    all-to-all, or whole-forward activation re-materialization."""
+    import re
+
+    from tf2_yolo_tpu.parallel import tensor_parallel_shardings
+
+    state, step, x, y = _setup()
+    mesh = make_mesh(n_data=4, n_model=2)
+    rules = tensor_parallel_shardings(state, mesh, min_channels=16)
+    st = jax.device_put(state, rules)
+    xb = jax.device_put(jnp.asarray(x), batch_sharding(mesh))
+    yb = jax.device_put(jnp.asarray(y), batch_sharding(mesh))
+    hlo = jax.jit(step).lower(st, xb, (yb,)).compile().as_text()
+
+    assert "all-to-all" not in hlo
+    assert "collective-permute" not in hlo
+
+    # every all-gather: channel dim (NHWC dim 3), no bigger than the
+    # largest per-shard conv input incl. halo padding (2x slack)
+    gathers = re.findall(
+        r"all-gather(?:-start)?[^=]*= [a-z0-9]+\[([\d,]+)\][^\n]*"
+        r"dimensions=\{(\d+)\}", hlo)
+    assert gathers, "expected channel all-gathers between TP convs"
+    act_budget = 2 * (2 * 33 * 33 * 16)   # ConvBN_1 padded input, b=2/shard
+    for shape_s, dim in gathers:
+        dims = [int(d) for d in shape_s.split(",")]
+        assert len(dims) < 4 or int(dim) == 3, (shape_s, dim)
+        assert int(np.prod(dims)) <= act_budget, (shape_s, act_budget)
+
+    # all-reduces: the backward of each channel all-gather is an
+    # activation-sized cotangent sum over the MODEL axis (group size
+    # 2); everything reduced over groups touching the DATA axis (size
+    # 4 or 8) must stay gradient/BN-stat-sized.
+    n_params = sum(np.prod(l.shape) for l in
+                   jax.tree_util.tree_leaves(state.params))
+    n_stats = sum(np.prod(l.shape) for l in
+                  jax.tree_util.tree_leaves(state.batch_stats))
+    budget = 3 * (n_params + n_stats)
+    seen_data_axis = False
+    for shape_s, gsize in re.findall(
+            r"all-reduce(?:-start)?[^=]*=\s*\(?[a-z0-9]+\[([\d,]*)\]"
+            r"[^\n]*replica_groups=\[\d+,(\d+)\]", hlo):
+        dims = [int(d) for d in shape_s.split(",") if d]
+        size = int(np.prod(dims)) if dims else 1
+        if int(gsize) == 2:          # model axis: gather backward
+            assert size <= act_budget, (shape_s, act_budget)
+        else:                        # data axis (or both): gradients
+            seen_data_axis = True
+            assert size <= budget, (shape_s, budget)
+    assert seen_data_axis, "expected data-axis gradient all-reduces"
