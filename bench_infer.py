@@ -103,10 +103,14 @@ def main():
     # the SAME jitted program (no recompile), folded variables passed
     # as arguments (embedding them as constants is for the serialized
     # artifact — here it would just bloat the benchmark compile)
+    # BENCH_SKIP_FOLDED=1 skips the folded-bf16 program — for XLA_OPTS
+    # sweeps over the int8 program only, where each extra program is a
+    # fresh multi-minute remote compile.
     from tf2_yolo_tpu.export import fold_batch_norm
-    folded = jax.device_put(fold_batch_norm(variables))
-    folded_fn = with_opts(infer_xla, folded, x)
-    variants["folded"] = rate(lambda v, x: folded_fn(folded, x))
+    if os.environ.get("BENCH_SKIP_FOLDED", "0") != "1":
+        folded = jax.device_put(fold_batch_norm(variables))
+        folded_fn = with_opts(infer_xla, folded, x)
+        variants["folded"] = rate(lambda v, x: folded_fn(folded, x))
 
     # static-scale calibrated int8 (export.calibrate_int8): activations
     # quantized with per-layer scales fixed at calibration time (no
