@@ -81,6 +81,34 @@ def test_calibrate_int8_tree_and_serving(tiny_v4):
     assert np.abs(rows_f[..., 4] - rows_q[..., 4]).max() < 0.15
 
 
+def test_calibrate_int8_yolov3_family():
+    """The int8 path is family-generic, not a YOLOv4 special: it hooks
+    ConvBN, which every backbone/neck/head shares. Calibrate a YOLOv3
+    (Darknet-53 + FPN — leaky activations, no SPP/PAN) and demand the
+    same serving-path agreement as the v4 case."""
+    from tf2_yolo_tpu.models import YoloV3
+
+    anchors = np.stack([np.linspace(0.1, 0.8, 9),
+                        np.linspace(0.1, 0.7, 9)], axis=1)
+    module = YoloV3(anchors=anchors, class_num=2)
+    x = jnp.asarray(rng.rand(2, 96, 96, 3), jnp.float32)
+    variables = fold_batch_norm(
+        module.init(jax.random.PRNGKey(3), x[:1], train=False))
+
+    quant = calibrate_int8(module, variables, [x])
+    leaves = jax.tree_util.tree_leaves(quant)
+    assert len(leaves) > 50
+    assert all(float(l) > 0 for l in leaves)
+
+    kw = dict(class_num=2, version=3, threshold=0.3, max_boxes=32)
+    f32 = jax.jit(make_serving_fn(module, variables, **kw))
+    i8 = jax.jit(make_serving_fn(module, variables, quant=quant, **kw))
+    rows_f, _ = [np.asarray(a) for a in f32(x)]
+    rows_q, _ = [np.asarray(a) for a in i8(x)]
+    assert rows_f.shape == rows_q.shape
+    assert np.abs(rows_f[..., 4] - rows_q[..., 4]).max() < 0.15
+
+
 def test_int8_serving_artifact_roundtrip(tiny_v4, tmp_path):
     """save_serving(quant=...) ships the calibrated int8 program in
     the versioned container: metadata records int8 (the scales tree
