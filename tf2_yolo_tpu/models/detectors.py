@@ -202,15 +202,25 @@ class YoloV4(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, *,
+                 pipeline_stage: Optional[str] = None):
+        """``pipeline_stage``: None runs the full network; "backbone"
+        returns the (c3, c4, c5) taps; "neck" treats ``x`` AS those
+        taps and runs only neck+heads. Because flax declares submodules
+        lazily, each stage's apply touches exactly its own param
+        subtree — the cut parallel/pipeline.py stage-splits at."""
         kw = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype)
-        if callable(self.backbone):
+        if pipeline_stage == "neck":
+            c3, c4, c5 = x
+        elif callable(self.backbone):
             c3, c4, c5 = _custom_backbone(self.backbone, kw)(x, train)
         elif self.backbone.startswith("resnet"):
             c3, c4, c5 = _resnet_from_name(self.backbone, **kw)(x, train)
         else:
             c3, c4, c5 = CSPDarknet53(remat=self.remat, **kw,
                                       name="backbone")(x, train)
+        if pipeline_stage == "backbone":
+            return (c3, c4, c5)
 
         # top-down path with SPP at the coarsest level
         t_s = ConvBN(512, 1, act="leaky", **kw, name="td1_pre1")(c5, train)

@@ -1,0 +1,198 @@
+"""Pipeline parallelism: MPMD microbatch streaming across devices.
+
+The reference has no multi-device story at all (SURVEY.md §2.3: DP/TP/
+PP all absent), and the blueprint declared PP out of scope at these
+model sizes — this module is the beyond-plan counterpart of
+``tensor_parallel_shardings``: for models whose *weights plus
+activations* exceed one chip's HBM even at microbatch 1, stage-split
+the network across chips and stream microbatches through it.
+
+Unlike DP/TP (SPMD: one program, sharded arrays, GSPMD collectives),
+pipeline stages are genuinely different programs, so this is MPMD at
+the host level: each stage is its own jitted executable committed to
+its own device, and inter-stage activations move with explicit
+``jax.device_put`` (ICI transfers on a real slice). JAX's async
+dispatch provides the pipelining for free — enqueueing microbatch m on
+stage s returns immediately, so stage s computes microbatch m while
+stage s+1 computes microbatch m-1 (the classic GPipe fill/steady/drain
+schedule emerges from the per-device execution queues without an
+explicit scheduler).
+
+Backward is exact: the forward stores each stage×microbatch VJP
+residual, and gradients stream back through the stages in reverse
+device order, accumulating per-stage parameter gradients over
+microbatches. Loss scaling follows gradient-accumulation semantics
+(mean over microbatches), so a pipeline step equals the same-batch
+single-device step to float tolerance — asserted in
+tests/test_pipeline.py.
+"""
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+class PipelineExecutor:
+    """Run ``stages`` (a list of ``fn(params, x) -> y`` callables, each
+    with its own params pytree) as a device-pipelined chain.
+
+    ``devices``: one device per stage (defaults to the first
+    ``len(stages)`` of ``jax.devices()``). Stage params are committed
+    to their device once at construction; microbatch activations are
+    transferred stage-to-stage.
+
+    Forward:  ``run(x, microbatch)`` -> final-stage outputs, rows
+              aligned with ``x``.
+    Training: ``value_and_grad(loss_fn)(x, microbatch)`` ->
+              ``(mean_loss, [grads_per_stage])`` where ``loss_fn``
+              maps the final stage's output (one microbatch) to a
+              scalar; gradients are exact (vjp-chained) and averaged
+              over microbatches.
+    """
+
+    def __init__(self, stages: Sequence[Callable], params: Sequence[Any],
+                 devices: Optional[Sequence] = None):
+        if len(stages) != len(params):
+            raise ValueError(
+                f"{len(stages)} stages but {len(params)} params trees")
+        devices = list(devices or jax.devices()[:len(stages)])
+        if len(devices) < len(stages):
+            raise ValueError(
+                f"{len(stages)} stages need {len(stages)} devices, "
+                f"got {len(devices)}")
+        self.stages = list(stages)
+        self.devices = devices[:len(stages)]
+        self.params = [jax.device_put(p, d)
+                       for p, d in zip(params, self.devices)]
+        # jitted per-stage forwards; placement follows the committed
+        # params/activations, so each executes on its stage device
+        self._fwd = [jax.jit(s) for s in self.stages]
+
+    # -- forward ------------------------------------------------------
+    def run(self, x, microbatch: Optional[int] = None):
+        """Pipelined eval forward; returns the last stage's outputs
+        concatenated over microbatches (pytree-structured)."""
+        mbs = self._split(x, microbatch)
+        outs = []
+        for mb in mbs:                      # async: fills the pipeline
+            y = jax.device_put(mb, self.devices[0])
+            for fwd, dev in zip(self._fwd, self.devices):
+                y = jax.tree_util.tree_map(
+                    lambda a, d=dev: jax.device_put(a, d), y)
+                y = fwd(self._p(dev), y)
+            outs.append(y)
+        return jax.tree_util.tree_map(
+            lambda *leaves: jnp.concatenate(leaves, axis=0), *outs)
+
+    # -- training -----------------------------------------------------
+    def value_and_grad(self, loss_fn: Callable):
+        """``loss_fn(final_stage_out, *aux) -> scalar`` per microbatch.
+        Returns ``step(x, *aux, microbatch=) -> (loss, grads)`` with
+        ``grads`` a list of per-stage param-gradient pytrees (averaged
+        over microbatches, matching gradient-accumulation semantics).
+        ``aux`` pytrees (e.g. labels) are split over microbatches like
+        ``x`` and consumed on the last stage's device."""
+
+        def step(x, *aux, microbatch: Optional[int] = None):
+            mbs = self._split(x, microbatch)
+            aux_mbs = [self._split(a, microbatch) for a in aux]
+            n = len(mbs)
+            last_dev = self.devices[-1]
+
+            # fill: forward every microbatch through every stage,
+            # keeping vjp residuals per (stage, microbatch)
+            vjps = [[None] * n for _ in self.stages]
+            losses, loss_vjps = [None] * n, [None] * n
+            for m, mb in enumerate(mbs):
+                y = jax.device_put(mb, self.devices[0])
+                for s, dev in enumerate(self.devices):
+                    y = jax.tree_util.tree_map(
+                        lambda a, d=dev: jax.device_put(a, d), y)
+                    y, vjps[s][m] = jax.vjp(
+                        self.stages[s], self._p(dev), y)
+                am = [jax.device_put(a[m], last_dev) for a in aux_mbs]
+                losses[m], loss_vjps[m] = jax.vjp(
+                    lambda out, am=am: loss_fn(out, *am), y)
+
+            # drain: stream cotangents backward, newest microbatch
+            # first (reverse schedule), accumulating stage grads
+            grads = [None] * len(self.stages)
+            for m in reversed(range(n)):
+                (dy,) = loss_vjps[m](jnp.ones_like(losses[m]) / n)
+                for s in reversed(range(len(self.stages))):
+                    dy = jax.tree_util.tree_map(
+                        lambda a, d=self.devices[s]: jax.device_put(a, d),
+                        dy)
+                    dp, dy = vjps[s][m](dy)
+                    grads[s] = dp if grads[s] is None else \
+                        jax.tree_util.tree_map(jnp.add, grads[s], dp)
+            loss = sum(jnp.asarray(l) for l in losses) / n
+            return loss, grads
+
+        return step
+
+    def apply_grads(self, tx, opt_states, grads):
+        """Per-stage optimizer update in place on each stage device;
+        returns new opt states."""
+        import optax
+        new_states = []
+        for s, (os, g) in enumerate(zip(opt_states, grads)):
+            updates, os = tx.update(g, os, self.params[s])
+            self.params[s] = jax.device_put(
+                optax.apply_updates(self.params[s], updates),
+                self.devices[s])
+            new_states.append(os)
+        return new_states
+
+    # -- helpers ------------------------------------------------------
+    def _p(self, dev):
+        return self.params[self.devices.index(dev)]
+
+    @staticmethod
+    def _split(x, microbatch):
+        leaves = jax.tree_util.tree_leaves(x)
+        total = leaves[0].shape[0]
+        mb = microbatch or total
+        if total % mb:
+            raise ValueError(f"batch {total} not divisible by "
+                             f"microbatch {mb}")
+        k = total // mb
+        return [jax.tree_util.tree_map(
+            lambda a, i=i: a[i * mb:(i + 1) * mb], x) for i in range(k)]
+
+
+def split_yolov4(module, variables):
+    """Stage-split a YoloV4 flax module for 2-stage pipelining:
+    stage 0 = CSPDarknet-53 backbone (-> c3/c4/c5 taps), stage 1 =
+    SPP/FPN/PAN neck + heads (``pipeline_stage`` arg on
+    ``YoloV4.__call__``, models/detectors.py). Returns
+    ``(stages, params)`` for :class:`PipelineExecutor`. The cut
+    carries the three multi-scale taps — the natural YOLO stage
+    boundary (the backbone holds most of the parameters; reference
+    yolov4/models/darknet.py:72-136 builds the same two halves as one
+    keras graph). Forward uses frozen BN statistics (eval semantics) —
+    the deployment/inference contract; pipelined *training* keeps the
+    same frozen-stats forward, so it matches a single-device
+    frozen-stats step exactly (tests/test_pipeline.py).
+    """
+    def pick(tree, invert=False):
+        return {k: v for k, v in tree.items()
+                if (k == "backbone") != invert}
+
+    if "backbone" not in variables.get("params", {}):
+        raise ValueError("split_yolov4 supports the stock csp_darknet "
+                         "YoloV4 (no 'backbone' param scope found)")
+    p0 = {c: pick(variables[c]) for c in variables if variables[c]}
+    p1 = {c: pick(variables[c], invert=True)
+          for c in variables if variables[c]}
+
+    def stage0(params, x):
+        return module.apply(params, x, train=False,
+                            pipeline_stage="backbone")
+
+    def stage1(params, taps):
+        return module.apply(params, taps, train=False,
+                            pipeline_stage="neck")
+
+    return [stage0, stage1], [p0, p1]
