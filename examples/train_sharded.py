@@ -94,6 +94,39 @@ def main():
             tstate, logs = step(tstate, xt, (yt,))
             print(f"dpxm step {i + 1}: loss {float(logs['loss']):.4f}")
 
+    # -- pipeline parallelism: stage-split across devices (MPMD) -------
+    if n_dev >= 2:
+        import optax
+        from tf2_yolo_tpu.models import YoloV4
+        from tf2_yolo_tpu.ops import wrap_yolo_loss_v4
+        from tf2_yolo_tpu.parallel import (PipelineExecutor,
+                                           split_yolov4)
+
+        anchors9 = np.stack([np.linspace(0.05, 0.75, 9),
+                             np.linspace(0.07, 0.65, 9)], axis=1)
+        v4 = YoloV4(anchors=anchors9, class_num=2)
+        xp = jnp.asarray(rng.rand(4, 96, 96, 3), jnp.float32)
+        pvars = v4.init(jax.random.PRNGKey(0), xp[:1], train=False)
+        outs = v4.apply(pvars, xp, train=False)
+        grids = [o.shape[1:3] for o in outs]
+        lfs = [wrap_yolo_loss_v4(g, 3, 2) for g in grids]
+        yps = [jnp.zeros((4, *g, 7), jnp.float32)
+               .at[:, 0, 0].set(jnp.asarray([.5, .5, .3, .3, 1, 1, 0]))
+               for g in grids]
+
+        pipe = PipelineExecutor(*split_yolov4(v4, pvars))
+        ptx = optax.sgd(1e-4)
+        opt_states = [ptx.init(p) for p in pipe.params]
+        pstep = pipe.value_and_grad(
+            lambda out, *ys: sum(jnp.mean(lf(yb, o))
+                                 for lf, yb, o in zip(lfs, ys, out)))
+        for i in range(args.steps):
+            loss, grads = pstep(xp, *yps, microbatch=2)
+            opt_states = pipe.apply_grads(ptx, opt_states, grads)
+            print(f"pipe step {i + 1}: loss {float(loss):.4f} "
+                  f"(backbone on {pipe.devices[0]}, "
+                  f"neck/heads on {pipe.devices[1]})")
+
 
 if __name__ == "__main__":
     main()
