@@ -116,7 +116,7 @@ def main():
 
         pipe = PipelineExecutor(*split_yolov4(v4, pvars))
         ptx = optax.sgd(1e-4)
-        opt_states = [ptx.init(p) for p in pipe.params]
+        opt_states = pipe.init_opt(ptx)   # params only; BN stats frozen
         pstep = pipe.value_and_grad(
             lambda out, *ys: sum(jnp.mean(lf(yb, o))
                                  for lf, yb, o in zip(lfs, ys, out)))

@@ -101,7 +101,7 @@ def test_pipeline_apply_grads_trains():
     y = jnp.zeros((8, 4), jnp.float32)
     tx = optax.sgd(0.1)
     pipe = PipelineExecutor(stages, params)
-    opt_states = [tx.init(p) for p in pipe.params]
+    opt_states = pipe.init_opt(tx)
     step = pipe.value_and_grad(lambda out, yb: jnp.mean((out - yb) ** 2))
 
     losses = []
@@ -139,3 +139,26 @@ def test_split_yolov4_pipeline_matches_full_apply():
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=2e-3, atol=1e-5)
+
+    # a pipelined optimizer step must train ONLY the params
+    # collection: batch_stats (frozen in the eval-mode stage forward)
+    # pass through apply_grads bitwise-unchanged
+    import optax
+    tx = optax.sgd(1e-4)
+    opt_states = pipe.init_opt(tx)
+    step = pipe.value_and_grad(
+        lambda out, *_: sum(jnp.mean(o ** 2) for o in out))
+    _, grads = step(x, microbatch=2)
+    before = [jax.tree_util.tree_map(np.asarray, p["batch_stats"])
+              for p in pipe.params]
+    pipe.apply_grads(tx, opt_states, grads)
+    for s, b in enumerate(before):
+        for a, c in zip(jax.tree_util.tree_leaves(b),
+                        jax.tree_util.tree_leaves(
+                            pipe.params[s]["batch_stats"])):
+            np.testing.assert_array_equal(a, np.asarray(c))
+    assert any(
+        not np.array_equal(a, np.asarray(c))
+        for a, c in zip(jax.tree_util.tree_leaves(params[0]["params"]),
+                        jax.tree_util.tree_leaves(
+                            pipe.params[0]["params"])))

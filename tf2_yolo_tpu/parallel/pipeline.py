@@ -89,10 +89,14 @@ class PipelineExecutor:
     def value_and_grad(self, loss_fn: Callable):
         """``loss_fn(final_stage_out, *aux) -> scalar`` per microbatch.
         Returns ``step(x, *aux, microbatch=) -> (loss, grads)`` with
-        ``grads`` a list of per-stage param-gradient pytrees (averaged
-        over microbatches, matching gradient-accumulation semantics).
-        ``aux`` pytrees (e.g. labels) are split over microbatches like
-        ``x`` and consumed on the last stage's device."""
+        ``grads`` a list of per-stage gradient pytrees over the
+        TRAINABLE part of each stage tree (the ``"params"`` collection
+        for flax variable dicts; the whole tree otherwise — frozen
+        collections like ``batch_stats`` are closed over as constants,
+        never differentiated), averaged over microbatches to match
+        gradient-accumulation semantics. ``aux`` pytrees (e.g. labels)
+        are split over microbatches like ``x`` and consumed on the
+        last stage's device."""
 
         def step(x, *aux, microbatch: Optional[int] = None):
             mbs = self._split(x, microbatch)
@@ -109,8 +113,10 @@ class PipelineExecutor:
                 for s, dev in enumerate(self.devices):
                     y = jax.tree_util.tree_map(
                         lambda a, d=dev: jax.device_put(a, d), y)
+                    tp, rebuild = self._partition(self._p(dev))
                     y, vjps[s][m] = jax.vjp(
-                        self.stages[s], self._p(dev), y)
+                        lambda t, a, s=s, rb=rebuild:
+                            self.stages[s](rb(t), a), tp, y)
                 am = [jax.device_put(a[m], last_dev) for a in aux_mbs]
                 losses[m], loss_vjps[m] = jax.vjp(
                     lambda out, am=am: loss_fn(out, *am), y)
@@ -132,15 +138,22 @@ class PipelineExecutor:
 
         return step
 
+    def init_opt(self, tx):
+        """Per-stage optimizer states over each stage's TRAINABLE part
+        (matches the grads from :meth:`value_and_grad`)."""
+        return [tx.init(self._partition(p)[0]) for p in self.params]
+
     def apply_grads(self, tx, opt_states, grads):
-        """Per-stage optimizer update in place on each stage device;
+        """Per-stage optimizer update in place on each stage device
+        (trainable part only; frozen collections pass through);
         returns new opt states."""
         import optax
         new_states = []
         for s, (os, g) in enumerate(zip(opt_states, grads)):
-            updates, os = tx.update(g, os, self.params[s])
+            tp, rebuild = self._partition(self.params[s])
+            updates, os = tx.update(g, os, tp)
             self.params[s] = jax.device_put(
-                optax.apply_updates(self.params[s], updates),
+                rebuild(optax.apply_updates(tp, updates)),
                 self.devices[s])
             new_states.append(os)
         return new_states
@@ -148,6 +161,18 @@ class PipelineExecutor:
     # -- helpers ------------------------------------------------------
     def _p(self, dev):
         return self.params[self.devices.index(dev)]
+
+    @staticmethod
+    def _partition(tree):
+        """(trainable, rebuild): for a flax variable dict the
+        trainable part is the ``"params"`` collection and everything
+        else (batch_stats, quant scales, ...) is frozen; otherwise the
+        whole tree is trainable."""
+        if isinstance(tree, dict) and "params" in tree:
+            frozen = {k: v for k, v in tree.items() if k != "params"}
+            return tree["params"], \
+                lambda tp, f=frozen: {**f, "params": tp}
+        return tree, lambda tp: tp
 
     @staticmethod
     def _split(x, microbatch):
