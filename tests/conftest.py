@@ -17,8 +17,17 @@ import sys
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8")
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in _flags:
+    # 8 device threads share ONE vCPU here: a collective rendezvous
+    # can legitimately sit un-scheduled past XLA's hard terminate
+    # window under load, and XLA then EXITS the whole process
+    # ("Termination timeout ... Exiting to ensure a consistent
+    # program state" — observed as sporadic 'Fatal Python error:
+    # Aborted' killing full-suite runs). The 20 s warn stays; only
+    # the process-killing deadline is raised.
+    _flags += " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+os.environ["XLA_FLAGS"] = _flags.strip()
 # persistent compile cache: repeat suite runs skip XLA recompiles
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
