@@ -114,7 +114,11 @@ def main():
                .at[:, 0, 0].set(jnp.asarray([.5, .5, .3, .3, 1, 1, 0]))
                for g in grids]
 
-        pipe = PipelineExecutor(*split_yolov4(v4, pvars))
+        # 3 chips: cut the CSP body itself (stem+stages1-3 |
+        # stages4-5 | neck+heads); 2 chips: backbone | neck+heads
+        n_stages = 3 if n_dev >= 3 else 2
+        pipe = PipelineExecutor(*split_yolov4(v4, pvars,
+                                              n_stages=n_stages))
         ptx = optax.sgd(1e-4)
         opt_states = pipe.init_opt(ptx)   # params only; BN stats frozen
         pstep = pipe.value_and_grad(
@@ -124,8 +128,8 @@ def main():
             loss, grads = pstep(xp, *yps, microbatch=2)
             opt_states = pipe.apply_grads(ptx, opt_states, grads)
             print(f"pipe step {i + 1}: loss {float(loss):.4f} "
-                  f"(backbone on {pipe.devices[0]}, "
-                  f"neck/heads on {pipe.devices[1]})")
+                  f"({n_stages} stages on "
+                  f"{[str(d) for d in pipe.devices]})")
 
 
 if __name__ == "__main__":

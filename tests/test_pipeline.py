@@ -13,7 +13,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tf2_yolo_tpu.parallel import PipelineExecutor, split_yolov4
+from tf2_yolo_tpu.parallel import (PipelineExecutor, split_detector,
+                                   split_yolov4)
 
 
 class _Stage0(nn.Module):
@@ -162,3 +163,114 @@ def test_split_yolov4_pipeline_matches_full_apply():
         for a, c in zip(jax.tree_util.tree_leaves(params[0]["params"]),
                         jax.tree_util.tree_leaves(
                             pipe.params[0]["params"])))
+
+
+def test_split_yolov4_3stage_matches_full_apply_and_grads():
+    """n_stages=3 (stem+stages1-3 | stages4-5 | neck+heads): the
+    pipelined forward reproduces the monolithic eval-mode apply, the
+    nested param cut is a disjoint complete partition, and the
+    pipelined value_and_grad equals jax.value_and_grad of the same
+    frozen-stats computation on every stage's subtree."""
+    from tf2_yolo_tpu.models import YoloV4
+
+    anchors = np.stack([np.linspace(0.1, 0.8, 9),
+                        np.linspace(0.1, 0.7, 9)], axis=1)
+    module = YoloV4(anchors=anchors, class_num=2)
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.rand(4, 96, 96, 3), jnp.float32)
+    variables = module.init(jax.random.PRNGKey(0), x[:1], train=False)
+
+    stages, params = split_yolov4(module, variables, n_stages=3)
+    assert set(params[0]["params"]["backbone"]) \
+        == {"stem", "stage1", "stage2", "stage3"}
+    assert set(params[1]["params"]["backbone"]) == {"stage4", "stage5"}
+    assert "backbone" not in params[2]["params"]
+    got_bb = set(params[0]["params"]["backbone"]) \
+        | set(params[1]["params"]["backbone"])
+    assert got_bb == set(variables["params"]["backbone"])
+    assert set(params[2]["params"]) \
+        == set(variables["params"]) - {"backbone"}
+
+    pipe = PipelineExecutor(stages, params)
+    got = pipe.run(x, microbatch=2)
+    want = module.apply(variables, x, train=False)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-3, atol=1e-5)
+
+    # log1p bounds the loss gradient (2o/(1+o²) <= 1): a plain
+    # mean(o²) squares the exp(wh) head channels, amplifying f32
+    # reduction-order noise between the two compiled partitions to
+    # ~0.4% relative on e8-magnitude gradient values — the comparison
+    # here pins the CUT's exactness, so keep the scale bounded
+    def loss_fn(out, *_):
+        return sum(jnp.mean(jnp.log1p(o ** 2)) for o in out)
+
+    def composed(p):
+        out = module.apply({**variables, "params": p}, x, train=False)
+        return loss_fn(out)
+
+    want_l, want_g = jax.value_and_grad(composed)(variables["params"])
+    step = pipe.value_and_grad(loss_fn)
+    loss, grads = step(x, microbatch=2)
+    # mean-of-microbatch-means reassociates the batch reduction and
+    # the two compiled partitions fuse differently: ~4e-5 relative
+    # noise on the scalar at f32
+    np.testing.assert_allclose(float(loss), float(want_l), rtol=1e-3)
+    want_stage_g = [
+        {"backbone": {k: want_g["backbone"][k]
+                      for k in params[0]["params"]["backbone"]}},
+        {"backbone": {k: want_g["backbone"][k]
+                      for k in params[1]["params"]["backbone"]}},
+        {k: want_g[k] for k in params[2]["params"]},
+    ]
+    for got_g, want_gs in zip(grads, want_stage_g):
+        ga = jax.tree_util.tree_leaves_with_path(got_g)
+        wa = jax.tree_util.tree_leaves_with_path(want_gs)
+        assert [p for p, _ in ga] == [p for p, _ in wa]
+        for (pth, a), (_, b) in zip(ga, wa):
+            # per-leaf relative L2: elementwise comparison is flaky on
+            # the handful (~2 per million) of near-cancelled elements
+            # whose value differs O(1%) between the two compiled
+            # partitions; the gradient AS A VECTOR must still agree
+            a = np.asarray(a, np.float64)
+            b = np.asarray(b, np.float64)
+            err = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
+            assert err < 1e-3, (pth, err)
+
+
+def test_split_detector_all_families():
+    """split_detector: the generic backbone|neck cut reproduces the
+    monolithic eval forward for every detector family (v1, v2, v3
+    full + tiny) — pipeline parallelism is family-generic."""
+    from tf2_yolo_tpu.models import YoloV1, YoloV2, YoloV3
+
+    rng = np.random.RandomState(5)
+    anchors5 = np.stack([np.linspace(0.1, 0.8, 5),
+                         np.linspace(0.1, 0.7, 5)], axis=1)
+    anchors9 = np.stack([np.linspace(0.1, 0.8, 9),
+                         np.linspace(0.1, 0.7, 9)], axis=1)
+    anchors6 = anchors9[:6]
+    cases = [
+        (YoloV1(bbox_num=2, class_num=2), 64),
+        (YoloV2(anchors=anchors5, class_num=2), 64),
+        (YoloV3(anchors=anchors9, class_num=2), 64),
+        (YoloV3(anchors=anchors6, class_num=2,
+                backbone="tiny_darknet"), 64),
+    ]
+    for module, size in cases:
+        x = jnp.asarray(rng.rand(2, size, size, 3), jnp.float32)
+        variables = module.init(jax.random.PRNGKey(0), x[:1],
+                                train=False)
+        stages, params = split_detector(module, variables)
+        assert set(params[0]["params"]) == {"backbone"}
+        assert set(params[0]["params"]) | set(params[1]["params"]) \
+            == set(variables["params"])
+        pipe = PipelineExecutor(stages, params)
+        got = pipe.run(x, microbatch=1)
+        want = module.apply(variables, x, train=False)
+        got_l = got if isinstance(got, (list, tuple)) else [got]
+        want_l = want if isinstance(want, (list, tuple)) else [want]
+        for g, w in zip(got_l, want_l):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=2e-3, atol=1e-5)

@@ -251,26 +251,45 @@ class CSPDarknet53(nn.Module):
     ``remat=True`` rematerializes each CSP stage on the backward pass
     (jax.checkpoint), trading ~30% extra forward FLOPs for activation
     memory — enables much larger per-chip batches.
+
+    ``section`` cuts the body for pipeline parallelism
+    (parallel/pipeline.py): "early" runs stem + stages 1-3 and returns
+    the c3 tap; "late" treats ``x`` AS c3 and runs stages 4-5,
+    returning (c4, c5). Submodule names are identical in every mode,
+    so each section's apply touches exactly its own param subtree.
     """
     bn_axis_name: Optional[str] = None
     remat: bool = False
     dtype: Any = jnp.float32
 
+    _SPECS = ((64, 1, False), (128, 2, True), (256, 8, True),
+              (512, 8, True), (1024, 4, True))
+
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, *,
+                 section: Optional[str] = None):
         kw = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype)
         # static_argnums=(2,): the `train` bool drives Python control
         # flow (BN mode) and must stay static under checkpointing
         stage_cls = (nn.remat(CSPStage, static_argnums=(2,))
                      if self.remat else CSPStage)
-        x = ConvBN(32, 3, act="mish", **kw, name="stem")(x, train)
-        taps = {}
-        for i, (f, blocks, narrow) in enumerate(
-                [(64, 1, False), (128, 2, True), (256, 8, True),
-                 (512, 8, True), (1024, 4, True)]):
+        if section not in (None, "early", "late"):
+            raise ValueError(f"Invalid section: {section!r}")
+        if section != "late":
+            x = ConvBN(32, 3, act="mish", **kw, name="stem")(x, train)
+        taps = {} if section != "late" else {256: x}
+        for i, (f, blocks, narrow) in enumerate(self._SPECS):
+            if section == "early" and i >= 3:
+                break
+            if section == "late" and i < 3:
+                continue
             x = stage_cls(f, blocks, narrow, **kw,
                           name=f"stage{i + 1}")(x, train)
             taps[f] = x
+        if section == "early":
+            return taps[256]
+        if section == "late":
+            return taps[512], taps[1024]
         return taps[256], taps[512], taps[1024]
 
 

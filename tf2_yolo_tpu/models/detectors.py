@@ -44,6 +44,12 @@ def _custom_backbone(factory, kw):
     return factory(**kw, name="backbone")
 
 
+def _check_pipeline_stage(stage, extra=()):
+    """Validate a ``pipeline_stage`` value (parallel/pipeline.py cuts)."""
+    if stage not in (None, "backbone", "neck") + tuple(extra):
+        raise ValueError(f"Invalid pipeline_stage: {stage!r}")
+
+
 def _split_anchors(anchors, num_levels):
     """Split a flat anchor list evenly across output levels, coarse
     level first (reference yolov3/models/__init__.py:29-40)."""
@@ -64,9 +70,17 @@ class YoloV1(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        x = DarknetV1(self.bn_axis_name, self.dtype, name="backbone")(
-            x, train)
+    def __call__(self, x, train: bool = False, *,
+                 pipeline_stage: Optional[str] = None):
+        """``pipeline_stage``: None runs the full net; "backbone"
+        returns the DarkNet-v1 feature map; "neck" treats ``x`` AS that
+        feature and runs only the head (parallel/pipeline.py cut)."""
+        _check_pipeline_stage(pipeline_stage)
+        if pipeline_stage != "neck":
+            x = DarknetV1(self.bn_axis_name, self.dtype, name="backbone")(
+                x, train)
+        if pipeline_stage == "backbone":
+            return x
         return HeadV1(self.bbox_num, self.class_num, self.dtype,
                       name="head")(x)
 
@@ -86,10 +100,28 @@ class YoloV2(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, *,
+                 pipeline_stage: Optional[str] = None):
+        """``pipeline_stage``: None runs the full net; "backbone"
+        returns the backbone taps ((passthrough, feat) for darknet, a
+        single feature otherwise); "neck" treats ``x`` AS those taps
+        and runs only neck+head (parallel/pipeline.py cut)."""
+        _check_pipeline_stage(pipeline_stage)
         kw = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype)
+        if pipeline_stage == "neck":
+            taps = x
+        elif self.backbone == "darknet":
+            taps = Darknet19(**kw, name="backbone")(x, train)
+        elif self.backbone == "unet":
+            taps = UNetBody(**kw, name="backbone")(x, train)
+        elif self.backbone == "mobilenet":
+            taps = MobileNetV2(**kw, name="backbone")(x, train)
+        else:
+            raise ValueError(f"Invalid backbone: {self.backbone}")
+        if pipeline_stage == "backbone":
+            return taps
         if self.backbone == "darknet":
-            passthrough, feat = Darknet19(**kw, name="backbone")(x, train)
+            passthrough, feat = taps
             conv = ConvBN(1024, 3, act="leaky", use_bias=True,
                           darknet_pad=False, **kw, name="neck1")(feat, train)
             conv = ConvBN(1024, 3, act="leaky", use_bias=True,
@@ -102,12 +134,8 @@ class YoloV2(nn.Module):
             feat = ConvBN(1024, 3, act="leaky", use_bias=True,
                           darknet_pad=False, **kw, name="neck3")(
                 merged, train)
-        elif self.backbone == "unet":
-            feat = UNetBody(**kw, name="backbone")(x, train)
-        elif self.backbone == "mobilenet":
-            feat = MobileNetV2(**kw, name="backbone")(x, train)
         else:
-            raise ValueError(f"Invalid backbone: {self.backbone}")
+            feat = taps
         return AnchorHead(self.anchors, self.class_num,
                           prob_act="softmax", dtype=self.dtype,
                           name="head")(feat)
@@ -148,11 +176,23 @@ class YoloV3(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, *,
+                 pipeline_stage: Optional[str] = None):
+        """``pipeline_stage``: None runs the full net; "backbone"
+        returns the backbone taps ((c3, c4, c5), or (tap, bottleneck)
+        for tiny_darknet); "neck" treats ``x`` AS those taps and runs
+        only the FPN + heads (parallel/pipeline.py cut)."""
+        _check_pipeline_stage(pipeline_stage)
         kw = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype)
 
         if self.backbone == "tiny_darknet":
-            tap, bottleneck = TinyDarknet(**kw, name="backbone")(x, train)
+            if pipeline_stage == "neck":
+                tap, bottleneck = x
+            else:
+                tap, bottleneck = TinyDarknet(**kw, name="backbone")(
+                    x, train)
+            if pipeline_stage == "backbone":
+                return (tap, bottleneck)
             out1 = ConvBN(512, 3, act="leaky", **kw,
                           name="tiny_out1")(bottleneck, train)
             up = ConvBN(128, 1, act="leaky", **kw,
@@ -163,7 +203,9 @@ class YoloV3(nn.Module):
                           name="tiny_out2")(merged, train)
             feats = [out1, out2]
         else:
-            if callable(self.backbone):
+            if pipeline_stage == "neck":
+                c3, c4, c5 = x
+            elif callable(self.backbone):
                 c3, c4, c5 = _custom_backbone(self.backbone, kw)(
                     x, train)
             elif self.backbone.startswith("resnet"):
@@ -171,6 +213,8 @@ class YoloV3(nn.Module):
                     x, train)
             else:
                 c3, c4, c5 = Darknet53(**kw, name="backbone")(x, train)
+            if pipeline_stage == "backbone":
+                return (c3, c4, c5)
             t, out1 = FPNStage(512, **kw, name="fpn1")(c5, train)
             t = ConvBN(256, 1, act="leaky", **kw, name="up1")(t, train)
             t = jnp.concatenate([upsample2x(t), c4], axis=-1)
@@ -206,10 +250,27 @@ class YoloV4(nn.Module):
                  pipeline_stage: Optional[str] = None):
         """``pipeline_stage``: None runs the full network; "backbone"
         returns the (c3, c4, c5) taps; "neck" treats ``x`` AS those
-        taps and runs only neck+heads. Because flax declares submodules
-        lazily, each stage's apply touches exactly its own param
-        subtree — the cut parallel/pipeline.py stage-splits at."""
+        taps and runs only neck+heads. "backbone_early" /
+        "backbone_late" additionally cut the stock CSPDarknet-53 body
+        itself (stem+stages1-3 -> c3 | stages4-5 -> (c3, c4, c5)) for
+        3-stage pipelines. Because flax declares submodules lazily,
+        each stage's apply touches exactly its own param subtree — the
+        cut parallel/pipeline.py stage-splits at."""
+        _check_pipeline_stage(
+            pipeline_stage, extra=("backbone_early", "backbone_late"))
         kw = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype)
+        if pipeline_stage in ("backbone_early", "backbone_late"):
+            if callable(self.backbone) or \
+                    self.backbone.startswith("resnet"):
+                raise ValueError(
+                    "backbone_early/backbone_late cuts require the "
+                    "stock csp_darknet backbone")
+            bb = CSPDarknet53(remat=self.remat, **kw, name="backbone")
+            if pipeline_stage == "backbone_early":
+                return bb(x, train, section="early")
+            c3 = x
+            c4, c5 = bb(c3, train, section="late")
+            return (c3, c4, c5)
         if pipeline_stage == "neck":
             c3, c4, c5 = x
         elif callable(self.backbone):

@@ -8,7 +8,7 @@ from .train import (TrainState, create_train_state, make_train_step,
 from .checkpoint import (save_checkpoint, restore_checkpoint,
                          latest_checkpoint)
 from .input import put_global_batch, process_batch_slice
-from .pipeline import PipelineExecutor, split_yolov4
+from .pipeline import PipelineExecutor, split_detector, split_yolov4
 
 __all__ = [
     "make_mesh", "make_mesh_spatial", "batch_sharding",
@@ -18,5 +18,5 @@ __all__ = [
     "make_eval_step", "make_optimizer",
     "save_checkpoint", "restore_checkpoint", "latest_checkpoint",
     "put_global_batch", "process_batch_slice",
-    "PipelineExecutor", "split_yolov4",
+    "PipelineExecutor", "split_detector", "split_yolov4",
 ]

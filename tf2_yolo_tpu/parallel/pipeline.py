@@ -18,13 +18,17 @@ stage s+1 computes microbatch m-1 (the classic GPipe fill/steady/drain
 schedule emerges from the per-device execution queues without an
 explicit scheduler).
 
-Backward is exact: the forward stores each stage×microbatch VJP
-residual, and gradients stream back through the stages in reverse
-device order, accumulating per-stage parameter gradients over
-microbatches. Loss scaling follows gradient-accumulation semantics
-(mean over microbatches), so a pipeline step equals the same-batch
-single-device step to float tolerance — asserted in
-tests/test_pipeline.py.
+Backward is exact and COMPILED: the forward stores only each stage's
+input per microbatch, and the backward recomputes the stage forward
+inside one jitted program per (stage, microbatch) that emits the
+parameter and input cotangents (GPipe-style rematerialization — the
+standard PP memory/compute trade, and on TPU the difference between
+one executable launch per stage and per-op eager dispatch through the
+runtime). Gradients stream back through the stages in reverse device
+order, accumulating per-stage parameter gradients over microbatches.
+Loss scaling follows gradient-accumulation semantics (mean over
+microbatches), so a pipeline step equals the same-batch single-device
+step to float tolerance — asserted in tests/test_pipeline.py.
 """
 
 from typing import Any, Callable, Optional, Sequence
@@ -65,9 +69,26 @@ class PipelineExecutor:
         self.devices = devices[:len(stages)]
         self.params = [jax.device_put(p, d)
                        for p, d in zip(params, self.devices)]
-        # jitted per-stage forwards; placement follows the committed
-        # params/activations, so each executes on its stage device
+        # jitted per-stage forwards/backwards; placement follows the
+        # committed params/activations, so each executes on its stage
+        # device. The backward recomputes the stage forward in-program
+        # (remat) and returns (trainable-param cotangent, input
+        # cotangent) — one compiled launch per stage per microbatch.
         self._fwd = [jax.jit(s) for s in self.stages]
+        self._bwd = [jax.jit(self._make_bwd(i))
+                     for i in range(len(self.stages))]
+        self._acc = jax.jit(
+            lambda a, b: jax.tree_util.tree_map(jnp.add, a, b))
+
+    def _make_bwd(self, s):
+        stage = self.stages[s]
+        partition = self._partition
+
+        def bwd(params, x, dy):
+            tp, rebuild = partition(params)
+            _, vjp = jax.vjp(lambda t, a: stage(rebuild(t), a), tp, x)
+            return vjp(dy)
+        return bwd
 
     # -- forward ------------------------------------------------------
     def run(self, x, microbatch: Optional[int] = None):
@@ -98,41 +119,50 @@ class PipelineExecutor:
         are split over microbatches like ``x`` and consumed on the
         last stage's device."""
 
+        def loss_fb(out, aux_mb, inv_n):
+            l, vjp = jax.vjp(lambda o: loss_fn(o, *aux_mb), out)
+            (dy,) = vjp(jnp.ones_like(l) * inv_n)
+            return l, dy
+        loss_fb = jax.jit(loss_fb)
+
         def step(x, *aux, microbatch: Optional[int] = None):
             mbs = self._split(x, microbatch)
             aux_mbs = [self._split(a, microbatch) for a in aux]
             n = len(mbs)
             last_dev = self.devices[-1]
+            inv_n = jnp.float32(1.0 / n)
 
-            # fill: forward every microbatch through every stage,
-            # keeping vjp residuals per (stage, microbatch)
-            vjps = [[None] * n for _ in self.stages]
-            losses, loss_vjps = [None] * n, [None] * n
+            # fill: stream every microbatch through the jitted stage
+            # forwards (async dispatch overlaps the stages), storing
+            # only each stage's INPUT; the loss value and its seeded
+            # cotangent come from one jitted program on the last stage
+            xs = [[None] * n for _ in self.stages]
+            losses, dys = [None] * n, [None] * n
             for m, mb in enumerate(mbs):
                 y = jax.device_put(mb, self.devices[0])
                 for s, dev in enumerate(self.devices):
                     y = jax.tree_util.tree_map(
                         lambda a, d=dev: jax.device_put(a, d), y)
-                    tp, rebuild = self._partition(self._p(dev))
-                    y, vjps[s][m] = jax.vjp(
-                        lambda t, a, s=s, rb=rebuild:
-                            self.stages[s](rb(t), a), tp, y)
-                am = [jax.device_put(a[m], last_dev) for a in aux_mbs]
-                losses[m], loss_vjps[m] = jax.vjp(
-                    lambda out, am=am: loss_fn(out, *am), y)
+                    xs[s][m] = y
+                    y = self._fwd[s](self.params[s], y)
+                am = tuple(jax.device_put(a[m], last_dev)
+                           for a in aux_mbs)
+                losses[m], dys[m] = loss_fb(y, am, inv_n)
 
             # drain: stream cotangents backward, newest microbatch
-            # first (reverse schedule), accumulating stage grads
+            # first (reverse schedule); each stage backward is one
+            # compiled recompute+vjp launch on its stage device, and
+            # gradient accumulation is a jitted tree-add
             grads = [None] * len(self.stages)
             for m in reversed(range(n)):
-                (dy,) = loss_vjps[m](jnp.ones_like(losses[m]) / n)
+                dy = dys[m]
                 for s in reversed(range(len(self.stages))):
                     dy = jax.tree_util.tree_map(
                         lambda a, d=self.devices[s]: jax.device_put(a, d),
                         dy)
-                    dp, dy = vjps[s][m](dy)
+                    dp, dy = self._bwd[s](self.params[s], xs[s][m], dy)
                     grads[s] = dp if grads[s] is None else \
-                        jax.tree_util.tree_map(jnp.add, grads[s], dp)
+                        self._acc(grads[s], dp)
             loss = sum(jnp.asarray(l) for l in losses) / n
             return loss, grads
 
@@ -187,37 +217,82 @@ class PipelineExecutor:
             lambda a, i=i: a[i * mb:(i + 1) * mb], x) for i in range(k)]
 
 
-def split_yolov4(module, variables):
-    """Stage-split a YoloV4 flax module for 2-stage pipelining:
-    stage 0 = CSPDarknet-53 backbone (-> c3/c4/c5 taps), stage 1 =
-    SPP/FPN/PAN neck + heads (``pipeline_stage`` arg on
-    ``YoloV4.__call__``, models/detectors.py). Returns
-    ``(stages, params)`` for :class:`PipelineExecutor`. The cut
-    carries the three multi-scale taps — the natural YOLO stage
-    boundary (the backbone holds most of the parameters; reference
-    yolov4/models/darknet.py:72-136 builds the same two halves as one
-    keras graph). Forward uses frozen BN statistics (eval semantics) —
-    the deployment/inference contract; pipelined *training* keeps the
-    same frozen-stats forward, so it matches a single-device
-    frozen-stats step exactly (tests/test_pipeline.py).
-    """
+def _stage_fn(module, stage_name):
+    def fn(params, x, _s=stage_name):
+        return module.apply(params, x, train=False, pipeline_stage=_s)
+    return fn
+
+
+def split_detector(module, variables):
+    """Stage-split any detector flax module (YoloV1/V2/V3/V4,
+    models/detectors.py) for 2-stage pipelining: stage 0 = backbone
+    (-> its feature taps), stage 1 = neck + head(s). Every detector's
+    ``__call__`` takes a ``pipeline_stage`` arg and scopes its backbone
+    params under "backbone", so the cut is the same for all four
+    families (and for the resnet/custom backbones, which reuse the
+    scope name). Returns ``(stages, params)`` for
+    :class:`PipelineExecutor`. The cut carries the backbone taps — the
+    natural YOLO stage boundary (the backbone holds most of the
+    parameters; e.g. reference yolov4/models/darknet.py:72-136 builds
+    the same two halves as one keras graph). Forward uses frozen BN
+    statistics (eval semantics) — the deployment/inference contract;
+    pipelined *training* keeps the same frozen-stats forward, so it
+    matches a single-device frozen-stats step exactly
+    (tests/test_pipeline.py)."""
     def pick(tree, invert=False):
         return {k: v for k, v in tree.items()
                 if (k == "backbone") != invert}
 
     if "backbone" not in variables.get("params", {}):
-        raise ValueError("split_yolov4 supports the stock csp_darknet "
-                         "YoloV4 (no 'backbone' param scope found)")
+        raise ValueError("split_detector needs a 'backbone' param "
+                         "scope in the variable tree")
     p0 = {c: pick(variables[c]) for c in variables if variables[c]}
     p1 = {c: pick(variables[c], invert=True)
           for c in variables if variables[c]}
+    return ([_stage_fn(module, "backbone"), _stage_fn(module, "neck")],
+            [p0, p1])
 
-    def stage0(params, x):
-        return module.apply(params, x, train=False,
-                            pipeline_stage="backbone")
 
-    def stage1(params, taps):
-        return module.apply(params, taps, train=False,
-                            pipeline_stage="neck")
+_EARLY_SCOPES = frozenset({"stem", "stage1", "stage2", "stage3"})
 
-    return [stage0, stage1], [p0, p1]
+
+def split_yolov4(module, variables, n_stages: int = 2):
+    """Stage-split a YoloV4 flax module for pipelining.
+
+    ``n_stages=2``: CSPDarknet-53 backbone | SPP/FPN/PAN neck + heads
+    (== :func:`split_detector`). ``n_stages=3`` additionally cuts the
+    stock backbone after its c3 stage: stem+stages1-3 | stages4-5 |
+    neck+heads (``backbone_early``/``backbone_late`` pipeline stages,
+    models/detectors.py) — stage boundaries carry c3, then
+    (c3, c4, c5). Returns ``(stages, params)`` for
+    :class:`PipelineExecutor`; same frozen-BN-statistics forward
+    semantics as :func:`split_detector`."""
+    if n_stages == 2:
+        return split_detector(module, variables)
+    if n_stages != 3:
+        raise ValueError(f"n_stages must be 2 or 3, got {n_stages}")
+    if "backbone" not in variables.get("params", {}):
+        raise ValueError("split_yolov4 needs a 'backbone' param scope")
+    unknown = set(variables["params"]["backbone"]) - _EARLY_SCOPES \
+        - {"stage4", "stage5"}
+    if unknown:
+        raise ValueError(
+            "3-stage split requires the stock csp_darknet backbone "
+            f"(unexpected backbone scopes: {sorted(unknown)})")
+
+    def pick_bb(tree, early):
+        bb = {k: v for k, v in tree.get("backbone", {}).items()
+              if (k in _EARLY_SCOPES) == early}
+        return {"backbone": bb} if bb else {}
+
+    def pick_rest(tree):
+        return {k: v for k, v in tree.items() if k != "backbone"}
+
+    cols = [c for c in variables if variables[c]]
+    p0 = {c: t for c in cols if (t := pick_bb(variables[c], True))}
+    p1 = {c: t for c in cols if (t := pick_bb(variables[c], False))}
+    p2 = {c: t for c in cols if (t := pick_rest(variables[c]))}
+    stages = [_stage_fn(module, "backbone_early"),
+              _stage_fn(module, "backbone_late"),
+              _stage_fn(module, "neck")]
+    return stages, [p0, p1, p2]
