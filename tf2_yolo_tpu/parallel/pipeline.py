@@ -46,6 +46,14 @@ class PipelineExecutor:
     to their device once at construction; microbatch activations are
     transferred stage-to-stage.
 
+    ``meshes``: instead of one device per stage, one
+    ``jax.sharding.Mesh`` per stage — PP x DP composition. Each stage
+    then runs as an SPMD program over its own mesh: params replicated
+    within the stage mesh, microbatch activations sharded over its
+    ``"data"`` axis (GSPMD inserts the per-stage gradient psums), and
+    stage-boundary transfers reshard between consecutive meshes. Each
+    microbatch size must divide by every stage's data-axis size.
+
     Forward:  ``run(x, microbatch)`` -> final-stage outputs, rows
               aligned with ``x``.
     Training: ``value_and_grad(loss_fn)(x, microbatch)`` ->
@@ -56,19 +64,42 @@ class PipelineExecutor:
     """
 
     def __init__(self, stages: Sequence[Callable], params: Sequence[Any],
-                 devices: Optional[Sequence] = None):
+                 devices: Optional[Sequence] = None,
+                 meshes: Optional[Sequence] = None):
         if len(stages) != len(params):
             raise ValueError(
                 f"{len(stages)} stages but {len(params)} params trees")
-        devices = list(devices or jax.devices()[:len(stages)])
-        if len(devices) < len(stages):
-            raise ValueError(
-                f"{len(stages)} stages need {len(stages)} devices, "
-                f"got {len(devices)}")
         self.stages = list(stages)
-        self.devices = devices[:len(stages)]
-        self.params = [jax.device_put(p, d)
-                       for p, d in zip(params, self.devices)]
+        if meshes is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            if len(meshes) < len(stages):
+                raise ValueError(
+                    f"{len(stages)} stages need {len(stages)} meshes, "
+                    f"got {len(meshes)}")
+            self.meshes = list(meshes[:len(stages)])
+            for m in self.meshes:
+                if "data" not in m.axis_names:
+                    raise ValueError(
+                        f"stage mesh {m} has no 'data' axis")
+            # activations batch-sharded over the stage's data axis;
+            # params replicated within the stage mesh
+            self._act_t = [NamedSharding(m, P("data"))
+                           for m in self.meshes]
+            self._par_t = [NamedSharding(m, P()) for m in self.meshes]
+            # representative device per stage (logging only)
+            self.devices = [m.devices.flat[0] for m in self.meshes]
+        else:
+            devices = list(devices or jax.devices()[:len(stages)])
+            if len(devices) < len(stages):
+                raise ValueError(
+                    f"{len(stages)} stages need {len(stages)} devices, "
+                    f"got {len(devices)}")
+            self.meshes = None
+            self.devices = devices[:len(stages)]
+            self._act_t = self.devices
+            self._par_t = self.devices
+        self.params = [jax.device_put(p, t)
+                       for p, t in zip(params, self._par_t)]
         # jitted per-stage forwards/backwards; placement follows the
         # committed params/activations, so each executes on its stage
         # device. The backward recomputes the stage forward in-program
@@ -97,11 +128,10 @@ class PipelineExecutor:
         mbs = self._split(x, microbatch)
         outs = []
         for mb in mbs:                      # async: fills the pipeline
-            y = jax.device_put(mb, self.devices[0])
-            for fwd, dev in zip(self._fwd, self.devices):
-                y = jax.tree_util.tree_map(
-                    lambda a, d=dev: jax.device_put(a, d), y)
-                y = fwd(self._p(dev), y)
+            y = mb
+            for s in range(len(self.stages)):
+                y = self._put(y, self._act_t[s])
+                y = self._fwd[s](self.params[s], y)
             outs.append(y)
         return jax.tree_util.tree_map(
             lambda *leaves: jnp.concatenate(leaves, axis=0), *outs)
@@ -129,7 +159,7 @@ class PipelineExecutor:
             mbs = self._split(x, microbatch)
             aux_mbs = [self._split(a, microbatch) for a in aux]
             n = len(mbs)
-            last_dev = self.devices[-1]
+            last_t = self._act_t[-1]
             inv_n = jnp.float32(1.0 / n)
 
             # fill: stream every microbatch through the jitted stage
@@ -139,14 +169,12 @@ class PipelineExecutor:
             xs = [[None] * n for _ in self.stages]
             losses, dys = [None] * n, [None] * n
             for m, mb in enumerate(mbs):
-                y = jax.device_put(mb, self.devices[0])
-                for s, dev in enumerate(self.devices):
-                    y = jax.tree_util.tree_map(
-                        lambda a, d=dev: jax.device_put(a, d), y)
+                y = mb
+                for s in range(len(self.stages)):
+                    y = self._put(y, self._act_t[s])
                     xs[s][m] = y
                     y = self._fwd[s](self.params[s], y)
-                am = tuple(jax.device_put(a[m], last_dev)
-                           for a in aux_mbs)
+                am = tuple(self._put(a[m], last_t) for a in aux_mbs)
                 losses[m], dys[m] = loss_fb(y, am, inv_n)
 
             # drain: stream cotangents backward, newest microbatch
@@ -157,9 +185,7 @@ class PipelineExecutor:
             for m in reversed(range(n)):
                 dy = dys[m]
                 for s in reversed(range(len(self.stages))):
-                    dy = jax.tree_util.tree_map(
-                        lambda a, d=self.devices[s]: jax.device_put(a, d),
-                        dy)
+                    dy = self._put(dy, self._act_t[s])
                     dp, dy = self._bwd[s](self.params[s], xs[s][m], dy)
                     grads[s] = dp if grads[s] is None else \
                         self._acc(grads[s], dp)
@@ -184,13 +210,16 @@ class PipelineExecutor:
             updates, os = tx.update(g, os, tp)
             self.params[s] = jax.device_put(
                 rebuild(optax.apply_updates(tp, updates)),
-                self.devices[s])
+                self._par_t[s])
             new_states.append(os)
         return new_states
 
     # -- helpers ------------------------------------------------------
-    def _p(self, dev):
-        return self.params[self.devices.index(dev)]
+    @staticmethod
+    def _put(tree, target):
+        """Transfer a pytree to a device or sharding target."""
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, target), tree)
 
     @staticmethod
     def _partition(tree):
