@@ -187,6 +187,7 @@ class PipelineExecutor:
                 for s in reversed(range(len(self.stages))):
                     dy = self._put(dy, self._act_t[s])
                     dp, dy = self._bwd[s](self.params[s], xs[s][m], dy)
+                    xs[s][m] = None     # free the stored input early
                     grads[s] = dp if grads[s] is None else \
                         self._acc(grads[s], dp)
             loss = sum(jnp.asarray(l) for l in losses) / n
@@ -213,6 +214,50 @@ class PipelineExecutor:
                 self._par_t[s])
             new_states.append(os)
         return new_states
+
+    # -- persistence ---------------------------------------------------
+    def save(self, path: str) -> None:
+        """Serialize all stage variable trees to one msgpack file
+        (flax serialization; the PP counterpart of
+        ``Model.save_weights`` — the reference persists keras weight
+        files only, SURVEY.md §5 checkpoint row)."""
+        from flax import serialization
+        tree = {str(i): jax.device_get(p)
+                for i, p in enumerate(self.params)}
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(tree))
+
+    def load(self, path: str) -> None:
+        """Restore stage variable trees saved by :meth:`save`,
+        re-committing each stage to its device/mesh."""
+        from flax import serialization
+        target = {str(i): jax.device_get(p)
+                  for i, p in enumerate(self.params)}
+        with open(path, "rb") as f:
+            tree = serialization.from_bytes(target, f.read())
+        self.params = [jax.device_put(tree[str(i)], t)
+                       for i, t in enumerate(self._par_t)]
+
+    def merged_variables(self):
+        """Deep-merge the per-stage variable trees back into ONE
+        monolithic tree — the inverse of :func:`split_detector` /
+        :func:`split_yolov4`, so a pipeline-trained model flows into
+        the ordinary single-program paths (``module.apply``, export,
+        evaluation, checkpointing)."""
+        def merge(a, b):
+            out = dict(a)
+            for k, v in b.items():
+                if k in out and isinstance(v, dict) \
+                        and isinstance(out[k], dict):
+                    out[k] = merge(out[k], v)
+                else:
+                    out[k] = v
+            return out
+
+        merged = {}
+        for p in self.params:
+            merged = merge(merged, jax.device_get(p))
+        return merged
 
     # -- helpers ------------------------------------------------------
     @staticmethod
