@@ -44,6 +44,20 @@ def set_fused_convbn(on):
 BN_STATS_SG = False
 BN_STATS_SG_SCOPE = None       # optional module-name filter
 
+# Batch-packed early-stage execution (models/packed_region.py):
+# train-mode CSPDarknet-53 stem/stage1/stage2 run on [B/2,H,W,2C]
+# tensors with the 1x1 convs as fused Pallas prologue-GEMMs. Exact
+# math, identical parameter tree; single-device only (pallas_call is
+# not pjit-partitionable). Read at trace time.
+PACKED_EARLY = False
+
+
+def set_packed_early(on):
+    """Enable/disable the batch-packed early-stage path globally
+    (BENCH_PACKED=1 in bench.py). See models/packed_region.py."""
+    global PACKED_EARLY
+    PACKED_EARLY = bool(on)
+
 # Channel gate for the static-scale int8 inference path (see
 # set_int8_min_channels). 0 = quantize every calibrated ConvBN.
 INT8_MIN_CHANNELS = 0

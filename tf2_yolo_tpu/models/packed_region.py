@@ -1,0 +1,267 @@
+"""Batch-packed early-stage execution for the CSPDarknet-53 backbone.
+
+The round-3 profile (tools/parse_tpu_profile.py) shows the sub-128-
+channel stages of YOLOv4@416 — stem (416^2x32), stage1 (208^2x64) and
+stage2 (104^2x128-with-64-ch-internals) — burn ~46%% of the train
+step, bandwidth-bound, with XLA emitting a separate BN-normalize+mish
+pass per layer per direction. This module re-executes that region
+(train mode, single device) in a *batch-packed* layout:
+
+    [B, H, W, C]  ->  [B/2, H, W, 2C]      (p = 2)
+
+a pure relabeling of the batch axis, so every convolution is exact
+under block-diagonally expanded weights diag(w, w). In this layout:
+
+  - every 1x1 ConvBN becomes one fused Pallas GEMM
+    (ops/pallas/packed_gemm.py): the producer's BN affine + mish is
+    applied in the consumer's input read (prologue) and the raw
+    output's channel sums come out of the epilogue — the separate
+    normalize pass disappears, and channel-concat consumers read
+    their two operands directly (no concat materialization);
+  - 3x3 / stride-2 convolutions stay on XLA (measured faster there:
+    packed XLA conv is 1.1-1.3x the unpacked one, but the Pallas GEMM
+    replacement only wins for channel GEMMs — tools/bench_packed_probe
+    .py), consuming explicitly activated tensors like today;
+  - BatchNorm statistics are computed per REAL channel by folding the
+    p packed groups, so means/vars/running stats match the unpacked
+    model exactly (up to summation order).
+
+The packed modules mirror the normal module tree NAME-FOR-NAME
+(conv/bn children via the same _ConvKernel/_BNState stand-ins ConvBN
+uses for its fused path), so checkpoints, weight conversion and the
+eval/serving paths are untouched; the packed wiring only ever runs
+when models.layers.PACKED_EARLY is on, train=True, and the batch is
+even. Single-device only (pallas_call is not partitionable under
+pjit meshes) — like the FUSED_CONVBN knob.
+
+No reference counterpart: the reference runs stock TF kernels
+(SURVEY.md §2.2); this is this repo's own bandwidth engineering.
+"""
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.pallas.packed_gemm import fused_gemm
+
+P = 2                       # packing factor (two images per lane row)
+_BN_EPS = 1e-3
+_BN_MOM = 0.99
+
+
+def pack_batch(x, p=P):
+    """[B,H,W,C] -> [B/p,H,W,p*C]: fold p consecutive images into the
+    channel axis (exactness: convs/BN-folds commute with this
+    relabeling)."""
+    b, h, w, c = x.shape
+    return (x.reshape(b // p, p, h, w, c)
+            .transpose(0, 2, 3, 1, 4)
+            .reshape(b // p, h, w, p * c))
+
+
+def unpack_batch(x, p=P):
+    """Inverse of :func:`pack_batch`."""
+    bp, h, w, pc = x.shape
+    return (x.reshape(bp, h, w, p, pc // p)
+            .transpose(0, 3, 1, 2, 4)
+            .reshape(bp * p, h, w, pc // p))
+
+
+def _block_diag(w, p=P):
+    """[..., Ci, Co] -> [..., p*Ci, p*Co] with w on the diagonal."""
+    eye = jnp.eye(p, dtype=w.dtype)
+    shape = w.shape[:-2]
+    expand = jnp.einsum("...io,pq->...piqo", w, eye)
+    return expand.reshape(*shape, p * w.shape[-2], p * w.shape[-1])
+
+
+def bn_affine(mean, var, scale, bias, p=P):
+    """Fold BN (normalize · scale + shift) into one per-channel affine
+    (a, b), tiled across the p packed groups, f32."""
+    a = scale * jax.lax.rsqrt(var + _BN_EPS)
+    b = bias - mean * a
+    return jnp.tile(a, p).reshape(1, -1), jnp.tile(b, p).reshape(1, -1)
+
+
+def activate(y, affine, act, dtype):
+    """Materialize normalize+activation for consumers that cannot fuse
+    the prologue (XLA convs, residual adds). f32 math, cast to the
+    compute dtype — the same semantics as the fused prologue."""
+    a, b = affine
+    z = y.astype(jnp.float32) * a.reshape(-1) + b.reshape(-1)
+    if act == "mish":
+        u = jnp.exp(jnp.minimum(z, 20.0))
+        z = z * (1.0 - 2.0 / ((1.0 + u) * (1.0 + u) + 1.0))
+    elif act == "leaky":
+        z = jnp.where(z >= 0, z, z * 0.1)
+    elif act != "linear":
+        raise ValueError(act)
+    return z.astype(dtype)
+
+
+class PackedConvBN3x3(nn.Module):
+    """3x3 (or stride-2 darknet-pad) ConvBN on packed tensors via an
+    XLA conv with block-diagonal weights. Consumes an ACTIVATED packed
+    tensor, returns (raw conv output, BN affine for consumers).
+    Parameter tree == ConvBN's (conv/kernel, bn/{scale,bias,mean,var})."""
+    features: int
+    kernel: int = 3
+    strides: int = 1
+    act: str = "mish"
+    darknet_pad: bool = True
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        from .layers import _BNState, _ConvKernel
+        k, _ = _ConvKernel(self.features, self.kernel, False,
+                           name="conv")(x.shape[-1] // P)
+        scale, bias, ra_mean, ra_var = _BNState(
+            self.features, name="bn")()
+        w2 = _block_diag(k).astype(self.dtype)
+        xc = x.astype(self.dtype)
+        if self.strides == 2 and self.darknet_pad:
+            xc = jnp.pad(xc, ((0, 0), (1, 0), (1, 0), (0, 0)))
+            padding = "VALID"
+        else:
+            padding = "SAME"
+        y = jax.lax.conv_general_dilated(
+            xc, w2, (self.strides, self.strides), padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32).astype(self.dtype)
+        yf = y.astype(jnp.float32)
+        s1 = jnp.sum(yf, axis=(0, 1, 2)).reshape(P, -1).sum(0)
+        s2 = jnp.sum(yf * yf, axis=(0, 1, 2)).reshape(P, -1).sum(0)
+        count = float(y.shape[0] * y.shape[1] * y.shape[2] * P)
+        mean, var = _fold_stats(s1, s2, count, self.bn_axis_name)
+        _update_running(self, ra_mean, ra_var, mean, var)
+        return y, bn_affine(mean, var, scale, bias)
+
+
+def _fold_stats(s1, s2, count, axis_name):
+    if axis_name is not None:
+        s1 = jax.lax.psum(s1, axis_name)
+        s2 = jax.lax.psum(s2, axis_name)
+        count = count * jax.lax.axis_size(axis_name)
+    mean = s1 / count
+    var = s2 / count - mean * mean
+    return mean, var
+
+
+def _update_running(mod, ra_mean, ra_var, mean, var):
+    if not mod.is_initializing():
+        ra_mean.value = (_BN_MOM * ra_mean.value
+                         + (1 - _BN_MOM) * jax.lax.stop_gradient(mean))
+        ra_var.value = (_BN_MOM * ra_var.value
+                        + (1 - _BN_MOM) * jax.lax.stop_gradient(var))
+
+
+class PackedGemmConvBN(nn.Module):
+    """1x1 ConvBN as the fused Pallas GEMM. Inputs: a list of
+    (x2d [M, p*Ci], affine-or-None) pairs — raw producer outputs fuse
+    the producer's BN+act in this layer's input read; activated
+    tensors pass affine None. Returns (raw y2d, consumer affine).
+    Parameter tree == ConvBN's."""
+    features: int
+    act: str = "mish"          # activation inside fused prologues
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = True):
+        from .layers import _BNState, _ConvKernel
+        cin = sum(x.shape[-1] for x, _ in inputs) // P
+        k, _ = _ConvKernel(self.features, 1, False,
+                           name="conv")(cin)
+        scale, bias, ra_mean, ra_var = _BNState(
+            self.features, name="bn")()
+        # split the [1,1,Cin,Co] kernel along Cin per input operand,
+        # block-diag-expand each slice (concat-free concat handling)
+        w = k[0, 0]
+        ws, offset = [], 0
+        for x, _ in inputs:
+            ci = x.shape[-1] // P
+            ws.append(_block_diag(w[offset:offset + ci]).astype(
+                self.dtype))
+            offset += ci
+        xs = [x for x, _ in inputs]
+        affines = [a for _, a in inputs]
+        y, s1, s2 = fused_gemm(xs, ws, affines, act=self.act,
+                               dtype=self.dtype)
+        s1 = s1.reshape(P, -1).sum(0)
+        s2 = s2.reshape(P, -1).sum(0)
+        count = float(y.shape[0] * P)
+        mean, var = _fold_stats(s1, s2, count, self.bn_axis_name)
+        _update_running(self, ra_mean, ra_var, mean, var)
+        return y, bn_affine(mean, var, scale, bias)
+
+
+class PackedCSPResBlock(nn.Module):
+    """CSP residual module on packed rows. Takes the block input as an
+    ACTIVATED 2D tensor; returns the activated output (the residual
+    add forces materialization either way, matching XLA's fusion of
+    normalize+add). Tree == CSPResBlock (squeeze/expand children)."""
+    mid: int
+    out: int
+    spatial: Any = None         # (B/p, H, W) for the 3x3 conv
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_act, train: bool = True):
+        bq, h, w = self.spatial
+        sq_y, sq_aff = PackedGemmConvBN(
+            self.mid, act="mish", bn_axis_name=self.bn_axis_name,
+            dtype=self.dtype, name="squeeze")([(x_act, None)], train)
+        sq_act = activate(sq_y, sq_aff, "mish", self.dtype)
+        ex_y, ex_aff = PackedConvBN3x3(
+            self.out, 3, 1, act="mish",
+            bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+            name="expand")(sq_act.reshape(bq, h, w, -1), train)
+        ex_act2 = activate(ex_y, ex_aff, "mish", self.dtype
+                           ).reshape(x_act.shape)
+        return x_act + ex_act2
+
+
+class PackedCSPStage(nn.Module):
+    """CSPStage on packed tensors (tree == CSPStage). Takes
+    (raw y2d, affine, (B/p, H, W)) from the previous stage, returns
+    the same triple at half resolution."""
+    features: int
+    blocks: int
+    narrow: bool = True
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, train: bool = True):
+        y_in, aff_in, (bq, h, w) = carry
+        kw = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype)
+        mid = self.features // 2 if self.narrow else self.features
+        x_act4 = activate(y_in, aff_in, "mish", self.dtype
+                          ).reshape(bq, h, w, -1)
+        dn_y, dn_aff = PackedConvBN3x3(
+            self.features, 3, 2, act="mish", **kw,
+            name="down")(x_act4, train)
+        h, w = dn_y.shape[1], dn_y.shape[2]
+        dn2 = dn_y.reshape(-1, dn_y.shape[-1])
+        cross_y, cross_aff = PackedGemmConvBN(
+            mid, act="mish", **kw,
+            name="cross")([(dn2, dn_aff)], train)
+        pre_y, pre_aff = PackedGemmConvBN(
+            mid, act="mish", **kw, name="pre")([(dn2, dn_aff)], train)
+        z_act = activate(pre_y, pre_aff, "mish", self.dtype)
+        for b in range(self.blocks):
+            z_act = PackedCSPResBlock(
+                self.features // 2, mid, spatial=(bq, h, w), **kw,
+                name=f"block{b + 1}")(z_act, train)
+        post_y, post_aff = PackedGemmConvBN(
+            mid, act="mish", **kw, name="post")([(z_act, None)], train)
+        out_y, out_aff = PackedGemmConvBN(
+            self.features, act="mish", **kw,
+            name="out")([(post_y, post_aff), (cross_y, cross_aff)],
+                        train)
+        return out_y, out_aff, (bq, h, w)

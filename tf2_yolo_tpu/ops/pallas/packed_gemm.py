@@ -85,11 +85,12 @@ def _act_and_grad(z, act):
 
 
 def _prologue(x, a, b, act):
-    """f32 prologue: returns (g_bf16 for the MXU, gp_f32, x_f32)."""
+    """f32 prologue: returns (g in x.dtype for the MXU, gp_f32,
+    x_f32)."""
     xf = x.astype(jnp.float32)
     z = xf * a[0, :] + b[0, :]
     g, gp = _act_and_grad(z, act)
-    return g.astype(jnp.bfloat16), gp, xf
+    return g.astype(x.dtype), gp, xf
 
 
 def _pick_mblk(m, preferred):
@@ -118,7 +119,7 @@ def _fwd_kernel(nx, pattern, act, x_and_params_refs):
         part = jax.lax.dot(x, ws[i][...],
                            preferred_element_type=jnp.float32)
         acc = part if acc is None else acc + part
-    yb = acc.astype(jnp.bfloat16)
+    yb = acc.astype(y_ref.dtype)
     y_ref[...] = yb
 
     @pl.when(pl.program_id(0) == 0)
@@ -151,7 +152,7 @@ def _fwd_call(xs, ws, aas, bbs, pattern, act, mblk):
         pl.BlockSpec((1, n), lambda i: (0, 0)),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
+        jax.ShapeDtypeStruct((m, n), xs[0].dtype),
         jax.ShapeDtypeStruct((1, n), jnp.float32),
         jax.ShapeDtypeStruct((1, n), jnp.float32),
     ]
@@ -199,7 +200,8 @@ def _bwd_kernel(nx, pattern, act, refs):
         part = jax.lax.dot(g, ws[i][...],
                            preferred_element_type=jnp.float32)
         acc = part if acc is None else acc + part
-    y_b = acc.astype(jnp.bfloat16)
+    dt = xs[0].dtype
+    y_b = acc.astype(dt)
     yf = y_b.astype(jnp.float32)
 
     # The total output cotangent is dyt = dy + ds1 + 2*y*ds2. For the
@@ -208,10 +210,10 @@ def _bwd_kernel(nx, pattern, act, refs):
     # swamp small dy entries — measured 30% relative error on dx):
     #   dg = dy @ w^T + (y * 2ds2) @ w^T + (ds1 @ w^T)  [row constant]
     dy_b = dy_ref[...]
-    yds2 = (y_b * (2.0 * ds2_ref[...]).astype(jnp.bfloat16))
+    yds2 = (y_b * (2.0 * ds2_ref[...]).astype(dt))
     dyt_b = (dy_b.astype(jnp.float32)
              + ds1_ref[...] + 2.0 * yf * ds2_ref[...]
-             ).astype(jnp.bfloat16)    # for the (robust) dW GEMM
+             ).astype(dt)              # for the (robust) dW GEMM
 
     for i in range(nx):
         # dg_i = dyt @ w_i^T   (contract over N), f32, term-split
@@ -222,17 +224,17 @@ def _bwd_kernel(nx, pattern, act, refs):
                   yds2, ws[i][...], (((1,), (1,)), ((), ())),
                   preferred_element_type=jnp.float32)
               + jax.lax.dot_general(
-                  ds1_ref[...].astype(jnp.bfloat16), ws[i][...],
+                  ds1_ref[...].astype(dt), ws[i][...],
                   (((1,), (1,)), ((), ())),
                   preferred_element_type=jnp.float32))
         if pattern[i]:
             dz = dg * gps[i]
-            dx_refs[i][...] = (dz * aas[i][0, :]).astype(jnp.bfloat16)
+            dx_refs[i][...] = (dz * aas[i][0, :]).astype(dt)
             da_refs[i][...] += jnp.sum(dz * raw[i], axis=0,
                                        keepdims=True)
             db_refs[i][...] += jnp.sum(dz, axis=0, keepdims=True)
         else:
-            dx_refs[i][...] = dg.astype(jnp.bfloat16)
+            dx_refs[i][...] = dg.astype(dt)
         # dW_i = g_i^T @ dyt   (contract over rows)
         dw_refs[i][...] += jax.lax.dot_general(
             gs[i], dyt_b, (((0,), (0,)), ((), ())),
@@ -261,7 +263,7 @@ def _bwd_call(xs, ws, aas, bbs, dy, ds1, ds2, pattern, act, mblk):
         + [pl.BlockSpec((1, b.shape[1]), lambda i: (0, 0)) for b in bbs]
     )
     out_shape = (
-        [jax.ShapeDtypeStruct(x.shape, jnp.bfloat16) for x in xs]
+        [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in xs]
         + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
         + [jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in aas]
         + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bbs]
@@ -316,7 +318,8 @@ def fused_gemm(xs: Sequence[jnp.ndarray],
                                                 jnp.ndarray]]],
                act: str = "mish",
                mblk_fwd: int = 8192,
-               mblk_bwd: int = 2048):
+               mblk_bwd: int = 2048,
+               dtype=jnp.bfloat16):
     """y = sum_i prologue_i(x_i) @ w_i, plus channel sums of y.
 
     xs:      [M, K_i] bf16 row matrices (lane dim = packed channels).
@@ -343,6 +346,6 @@ def fused_gemm(xs: Sequence[jnp.ndarray],
             aas.append(a[0].reshape(1, k).astype(jnp.float32))
             bbs.append(a[1].reshape(1, k).astype(jnp.float32))
     f = _build(nx, pattern, act, mblk_fwd, mblk_bwd)
-    return f(tuple(x.astype(jnp.bfloat16) for x in xs),
-             tuple(w.astype(jnp.bfloat16) for w in ws),
+    return f(tuple(x.astype(dtype) for x in xs),
+             tuple(w.astype(dtype) for w in ws),
              tuple(aas), tuple(bbs))
