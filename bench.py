@@ -45,11 +45,12 @@ XLA_OPTS = json.loads(os.environ.get(
 # activation-sized cotangent per fused layer. Off by default; see
 # BASELINE.md "fused conv+BN" entry.
 FUSED = os.environ.get("BENCH_FUSED", "0") == "1"
-# BENCH_PACKED=1: batch-packed early-stage execution
-# (models/packed_region.py set_packed_early): stem+stage1+stage2 run
-# on [B/2,H,W,2C] tensors with the 1x1 convs as fused Pallas
-# prologue-GEMMs — exact math, parity-tested (test_packed_region.py).
-PACKED = os.environ.get("BENCH_PACKED", "0") == "1"
+# BENCH_PACKED=1: fused-GEMM backbone stages 3-5 (models/
+# packed_region.py set_packed_early) — 1x1 convs as fused Pallas
+# prologue-GEMMs, exact math, parity-tested (test_packed_region.py).
+# BENCH_PACKED=2 additionally batch-packs stem/stage1/stage2
+# ([B/2,H,W,2C], block-diag weights).
+PACKED = int(os.environ.get("BENCH_PACKED", "0"))
 # BENCH_BN_SG=1: stop-gradient BatchNorm statistics (models/layers.py
 # set_bn_stats_stop_gradient) — forward/loss identical, backward uses
 # the frozen-statistics approximation, eliminating the per-layer
@@ -109,7 +110,7 @@ def main():
         set_fused_convbn(True)
     if PACKED:
         from tf2_yolo_tpu.models.layers import set_packed_early
-        set_packed_early(True)
+        set_packed_early(True, p2=PACKED >= 2)
     if BN_SG:
         from tf2_yolo_tpu.models.layers import set_bn_stats_stop_gradient
         set_bn_stats_stop_gradient(

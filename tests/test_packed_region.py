@@ -16,8 +16,10 @@ from tf2_yolo_tpu.ops.pallas import packed_gemm
 
 @pytest.fixture
 def packed_mode():
+    # p2=True exercises BOTH mechanisms: the batch-packed (p=2)
+    # stem/stage1/stage2 and the unpacked (p=1) fused-GEMM stages 3-5
     packed_gemm.set_interpret(True)
-    set_packed_early(True)
+    set_packed_early(True, p2=True)
     yield
     set_packed_early(False)
     packed_gemm.set_interpret(False)
@@ -45,7 +47,7 @@ def test_packed_forward_and_stats_match(packed_mode):
     module, variables, x = _setup()
     set_packed_early(False)
     out_n, mut_n = _train_apply(module, variables, x)
-    set_packed_early(True)
+    set_packed_early(True, p2=True)
     out_p, mut_p = _train_apply(module, variables, x)
     for a, b in zip(out_p, out_n):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
@@ -72,7 +74,7 @@ def test_packed_grads_match(packed_mode):
     args = (variables["params"], variables["batch_stats"])
     set_packed_early(False)
     loss_n, g_n = jax.value_and_grad(loss_fn)(*args)
-    set_packed_early(True)
+    set_packed_early(True, p2=True)
     loss_p, g_p = jax.value_and_grad(loss_fn)(*args)
     np.testing.assert_allclose(float(loss_p), float(loss_n),
                                rtol=1e-4)
@@ -184,8 +186,27 @@ def test_packed_inactive_in_eval_and_odd_batch(packed_mode):
     out_n = module.apply(variables, x, train=False)
     for a, b in zip(out_p, out_n):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    # odd batch: packed path must fall back, not crash
-    set_packed_early(True)
+    # odd batch: the p=2 region must fall back (p=1 stages still on)
+    set_packed_early(True, p2=True)
     out, _ = module.apply(variables, x[:3], train=True,
                           mutable=["batch_stats"])
     assert all(np.isfinite(np.asarray(o)).all() for o in out)
+
+
+def test_packed_p1_only_forward_matches(packed_mode):
+    """Default mode (stages 3-5 fused-GEMM, early stages normal):
+    forward + stats parity."""
+    module, variables, x = _setup()
+    set_packed_early(False)
+    out_n, mut_n = _train_apply(module, variables, x)
+    set_packed_early(True, p2=False)
+    out_p, mut_p = _train_apply(module, variables, x)
+    for a, b in zip(out_p, out_n):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(mut_p),
+            jax.tree_util.tree_leaves_with_path(mut_n)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(path))

@@ -276,34 +276,54 @@ class CSPDarknet53(nn.Module):
                      if self.remat else CSPStage)
         if section not in (None, "early", "late"):
             raise ValueError(f"Invalid section: {section!r}")
-        # Batch-packed early region (models/packed_region.py): exact
-        # re-execution of stem+stage1+stage2 on [B/2,H,W,2C] tensors
-        # with fused Pallas prologue-GEMMs for the 1x1 convs. Same
-        # parameter tree (name-for-name stand-ins), train-mode only.
-        packed_start = 0
-        if (_layers.PACKED_EARLY and train and section is None
-                and x.shape[0] % 2 == 0 and not self.remat):
+        # Fused-GEMM backbone path (models/packed_region.py): stages
+        # 3-5 run with their 1x1 convs as fused prologue-GEMMs
+        # (unpacked, C >= 128); PACKED_P2 additionally batch-packs
+        # stem/stage1/stage2 on [B/2,H,W,2C]. Same parameter tree
+        # (name-for-name stand-ins), train-mode only.
+        packed = (_layers.PACKED_EARLY and train and section is None
+                  and not self.remat)
+        if packed:
             from . import packed_region as pr
-            xp = pr.pack_batch(x.astype(self.dtype))
-            y4, aff = pr.PackedConvBN3x3(
-                32, 3, 1, act="mish", **kw, name="stem")(xp, train)
-            carry = (y4.reshape(-1, y4.shape[-1]), aff,
-                     (y4.shape[0], y4.shape[1], y4.shape[2]))
-            for i, (f, blocks, narrow) in enumerate(self._SPECS[:2]):
-                carry = pr.PackedCSPStage(
-                    f, blocks, narrow, **kw,
-                    name=f"stage{i + 1}")(carry, train)
-            y2, aff, (bq, h, w) = carry
-            y4 = pr.activate(y2, aff, "mish", self.dtype
-                             ).reshape(bq, h, w, -1)
-            x = pr.unpack_batch(y4)
-            packed_start = 2
-        elif section != "late":
+            if _layers.PACKED_P2 and x.shape[0] % 2 == 0:
+                xp = pr.pack_batch(x.astype(self.dtype))
+                y4, aff = pr.PackedConvBN3x3(
+                    32, 3, 1, act="mish", **kw,
+                    name="stem")(xp, train)
+                carry = (y4, aff,
+                         (y4.shape[0], y4.shape[1], y4.shape[2]))
+                for i, (f, blocks, narrow) in enumerate(
+                        self._SPECS[:2]):
+                    carry = pr.PackedCSPStage(
+                        f, blocks, narrow, **kw,
+                        name=f"stage{i + 1}")(carry, train)
+                y2, aff, (bq, h, w) = carry
+                x = pr.unpack_batch(pr.rows_to(
+                    pr.activate(y2, aff, "mish", self.dtype),
+                    bq, h, w))
+            else:
+                x = ConvBN(32, 3, act="mish", **kw,
+                           name="stem")(x, train)
+                for i, (f, blocks, narrow) in enumerate(
+                        self._SPECS[:2]):
+                    x = stage_cls(f, blocks, narrow, **kw,
+                                  name=f"stage{i + 1}")(x, train)
+            taps = {}
+            for i, (f, blocks, narrow) in enumerate(self._SPECS[2:],
+                                                    start=2):
+                out_y, out_aff, (bq, h, w) = pr.PackedCSPStage(
+                    f, blocks, narrow, p=1, **kw,
+                    name=f"stage{i + 1}")(
+                        (x, None, x.shape[:3]), train)
+                x = pr.rows_to(
+                    pr.activate(out_y, out_aff, "mish", self.dtype),
+                    bq, h, w)
+                taps[f] = x
+            return taps[256], taps[512], taps[1024]
+        if section != "late":
             x = ConvBN(32, 3, act="mish", **kw, name="stem")(x, train)
         taps = {} if section != "late" else {256: x}
         for i, (f, blocks, narrow) in enumerate(self._SPECS):
-            if i < packed_start:
-                continue
             if section == "early" and i >= 3:
                 break
             if section == "late" and i < 3:

@@ -44,19 +44,27 @@ def set_fused_convbn(on):
 BN_STATS_SG = False
 BN_STATS_SG_SCOPE = None       # optional module-name filter
 
-# Batch-packed early-stage execution (models/packed_region.py):
-# train-mode CSPDarknet-53 stem/stage1/stage2 run on [B/2,H,W,2C]
-# tensors with the 1x1 convs as fused Pallas prologue-GEMMs. Exact
-# math, identical parameter tree; single-device only (pallas_call is
-# not pjit-partitionable). Read at trace time.
+# Fused-GEMM backbone execution (models/packed_region.py): in train
+# mode the CSPDarknet-53 stages run with their 1x1 convs as fused
+# Pallas prologue-GEMMs (producer BN+mish applied in the consumer's
+# input read — the normalize pass XLA always materializes). Stages
+# 3-5 (C >= 128, lanes already full) run unpacked; PACKED_P2
+# additionally runs stem/stage1/stage2 batch-packed on [B/2,H,W,2C]
+# tensors (block-diag weights — measured net-negative so far, kept
+# as an explicit knob). Exact math, identical parameter tree;
+# single-device only (pallas_call is not pjit-partitionable). Read
+# at trace time.
 PACKED_EARLY = False
+PACKED_P2 = False
 
 
-def set_packed_early(on):
-    """Enable/disable the batch-packed early-stage path globally
-    (BENCH_PACKED=1 in bench.py). See models/packed_region.py."""
-    global PACKED_EARLY
+def set_packed_early(on, p2=False):
+    """Enable/disable the fused-GEMM backbone path globally
+    (BENCH_PACKED=1 in bench.py). ``p2`` additionally batch-packs the
+    sub-128-channel stem/stage1/stage2. See models/packed_region.py."""
+    global PACKED_EARLY, PACKED_P2
     PACKED_EARLY = bool(on)
+    PACKED_P2 = bool(p2)
 
 # Channel gate for the static-scale int8 inference path (see
 # set_int8_min_channels). 0 = quantize every calibrated ConvBN.

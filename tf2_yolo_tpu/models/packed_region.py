@@ -85,11 +85,7 @@ def bn_affine(mean, var, scale, bias, p=P):
     return jnp.tile(a, p).reshape(1, -1), jnp.tile(b, p).reshape(1, -1)
 
 
-def activate(y, affine, act, dtype):
-    """Materialize normalize+activation for consumers that cannot fuse
-    the prologue (XLA convs, residual adds). f32 math, cast to the
-    compute dtype — the same semantics as the fused prologue."""
-    a, b = affine
+def _activate_fn(y, a, b, act, dtype):
     z = y.astype(jnp.float32) * a.reshape(-1) + b.reshape(-1)
     if act == "mish":
         u = jnp.exp(jnp.minimum(z, 20.0))
@@ -99,6 +95,37 @@ def activate(y, affine, act, dtype):
     elif act != "linear":
         raise ValueError(act)
     return z.astype(dtype)
+
+
+def activate(y, affine, act, dtype):
+    """Materialize normalize+activation for consumers that cannot fuse
+    the prologue (XLA convs, residual adds). f32 math, cast to the
+    compute dtype — the same semantics as the fused prologue.
+
+    jax.checkpoint: without it autodiff SAVES the f32 intermediates
+    (z/u) as residuals — full-size f32 HBM writes at every activate
+    site (profiled: a 19 ms f32[64,416,416,64] store on the stem
+    alone). Recomputing the elementwise chain in backward fuses it
+    into the surrounding gradient fusions instead."""
+    a, b = affine
+    return jax.checkpoint(
+        lambda y, a, b: _activate_fn(y, a, b, act, dtype))(y, a, b)
+
+
+def rows_of(y4):
+    """[B/p,H,W,pC] -> [H*W*B/p, pC] rows in (h,w,b)-major order —
+    the 2D operand view for the Pallas GEMMs. (h,w,b)-major matches
+    the {3,0,2,1} layout XLA assigns to the in-region conv tensors,
+    so the transpose+reshape folds to a zero-cost bitcast instead of
+    the relayout copy the (b,h,w)-major view forces (profiled at
+    4.2 ms per boundary)."""
+    bq, h, w, pc = y4.shape
+    return y4.transpose(1, 2, 0, 3).reshape(h * w * bq, pc)
+
+
+def rows_to(y2, bq, h, w):
+    """Inverse of :func:`rows_of`."""
+    return y2.reshape(h, w, bq, y2.shape[-1]).transpose(2, 0, 1, 3)
 
 
 class PackedConvBN3x3(nn.Module):
@@ -112,33 +139,63 @@ class PackedConvBN3x3(nn.Module):
     act: str = "mish"
     darknet_pad: bool = True
     bn_axis_name: Optional[str] = None
+    p: int = P
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         from .layers import _BNState, _ConvKernel
         k, _ = _ConvKernel(self.features, self.kernel, False,
-                           name="conv")(x.shape[-1] // P)
+                           name="conv")(x.shape[-1] // self.p)
         scale, bias, ra_mean, ra_var = _BNState(
             self.features, name="bn")()
-        w2 = _block_diag(k).astype(self.dtype)
+        w2 = (k if self.p == 1
+              else _block_diag(k, self.p)).astype(self.dtype)
         xc = x.astype(self.dtype)
         if self.strides == 2 and self.darknet_pad:
             xc = jnp.pad(xc, ((0, 0), (1, 0), (1, 0), (0, 0)))
             padding = "VALID"
         else:
             padding = "SAME"
+        # conv in the compute dtype like flax's nn.Conv (no f32
+        # preferred_element_type: its VJP rejects mixed-dtype
+        # cotangents under grad, and the normal path rounds here too)
         y = jax.lax.conv_general_dilated(
             xc, w2, (self.strides, self.strides), padding,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32).astype(self.dtype)
-        yf = y.astype(jnp.float32)
-        s1 = jnp.sum(yf, axis=(0, 1, 2)).reshape(P, -1).sum(0)
-        s2 = jnp.sum(yf * yf, axis=(0, 1, 2)).reshape(P, -1).sum(0)
-        count = float(y.shape[0] * y.shape[1] * y.shape[2] * P)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        # custom-vjp stats: a plain (or checkpointed) f32 cast + sum
+        # materializes a full-size f32 tensor for the s2 backward
+        # (profiled at 17 ms on the stem); the custom backward folds
+        # ds1 + 2*y*ds2 as an elementwise expression that fuses into
+        # the surrounding gradient chains
+        s1, s2 = _sums(y)
+        s1 = s1.reshape(self.p, -1).sum(0)
+        s2 = s2.reshape(self.p, -1).sum(0)
+        count = float(y.shape[0] * y.shape[1] * y.shape[2] * self.p)
         mean, var = _fold_stats(s1, s2, count, self.bn_axis_name)
         _update_running(self, ra_mean, ra_var, mean, var)
-        return y, bn_affine(mean, var, scale, bias)
+        return y, bn_affine(mean, var, scale, bias, self.p)
+
+
+@jax.custom_vjp
+def _sums(y):
+    """Channel sums of y and y*y over all leading axes, f32."""
+    axes = tuple(range(y.ndim - 1))
+    yf = y.astype(jnp.float32)
+    return jnp.sum(yf, axis=axes), jnp.sum(yf * yf, axis=axes)
+
+
+def _sums_fwd(y):
+    return _sums(y), y
+
+
+def _sums_bwd(y, cts):
+    ds1, ds2 = cts
+    dy = (ds1 + 2.0 * y.astype(jnp.float32) * ds2).astype(y.dtype)
+    return (dy,)
+
+
+_sums.defvjp(_sums_fwd, _sums_bwd)
 
 
 def _fold_stats(s1, s2, count, axis_name):
@@ -168,12 +225,13 @@ class PackedGemmConvBN(nn.Module):
     features: int
     act: str = "mish"          # activation inside fused prologues
     bn_axis_name: Optional[str] = None
+    p: int = P
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, inputs, train: bool = True):
         from .layers import _BNState, _ConvKernel
-        cin = sum(x.shape[-1] for x, _ in inputs) // P
+        cin = sum(x.shape[-1] for x, _ in inputs) // self.p
         k, _ = _ConvKernel(self.features, 1, False,
                            name="conv")(cin)
         scale, bias, ra_mean, ra_var = _BNState(
@@ -183,20 +241,21 @@ class PackedGemmConvBN(nn.Module):
         w = k[0, 0]
         ws, offset = [], 0
         for x, _ in inputs:
-            ci = x.shape[-1] // P
-            ws.append(_block_diag(w[offset:offset + ci]).astype(
-                self.dtype))
+            ci = x.shape[-1] // self.p
+            wi = w[offset:offset + ci]
+            ws.append((wi if self.p == 1
+                       else _block_diag(wi, self.p)).astype(self.dtype))
             offset += ci
         xs = [x for x, _ in inputs]
         affines = [a for _, a in inputs]
         y, s1, s2 = fused_gemm(xs, ws, affines, act=self.act,
                                dtype=self.dtype)
-        s1 = s1.reshape(P, -1).sum(0)
-        s2 = s2.reshape(P, -1).sum(0)
-        count = float(y.shape[0] * P)
+        s1 = s1.reshape(self.p, -1).sum(0)
+        s2 = s2.reshape(self.p, -1).sum(0)
+        count = float(y.shape[0] * self.p)
         mean, var = _fold_stats(s1, s2, count, self.bn_axis_name)
         _update_running(self, ra_mean, ra_var, mean, var)
-        return y, bn_affine(mean, var, scale, bias)
+        return y, bn_affine(mean, var, scale, bias, self.p)
 
 
 class PackedCSPResBlock(nn.Module):
@@ -208,6 +267,7 @@ class PackedCSPResBlock(nn.Module):
     out: int
     spatial: Any = None         # (B/p, H, W) for the 3x3 conv
     bn_axis_name: Optional[str] = None
+    p: int = P
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -215,14 +275,14 @@ class PackedCSPResBlock(nn.Module):
         bq, h, w = self.spatial
         sq_y, sq_aff = PackedGemmConvBN(
             self.mid, act="mish", bn_axis_name=self.bn_axis_name,
-            dtype=self.dtype, name="squeeze")([(x_act, None)], train)
+            p=self.p, dtype=self.dtype,
+            name="squeeze")([(x_act, None)], train)
         sq_act = activate(sq_y, sq_aff, "mish", self.dtype)
         ex_y, ex_aff = PackedConvBN3x3(
             self.out, 3, 1, act="mish",
-            bn_axis_name=self.bn_axis_name, dtype=self.dtype,
-            name="expand")(sq_act.reshape(bq, h, w, -1), train)
-        ex_act2 = activate(ex_y, ex_aff, "mish", self.dtype
-                           ).reshape(x_act.shape)
+            bn_axis_name=self.bn_axis_name, p=self.p, dtype=self.dtype,
+            name="expand")(rows_to(sq_act, bq, h, w), train)
+        ex_act2 = rows_of(activate(ex_y, ex_aff, "mish", self.dtype))
         return x_act + ex_act2
 
 
@@ -234,20 +294,30 @@ class PackedCSPStage(nn.Module):
     blocks: int
     narrow: bool = True
     bn_axis_name: Optional[str] = None
+    p: int = P
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, carry, train: bool = True):
         y_in, aff_in, (bq, h, w) = carry
-        kw = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype)
+        kw = dict(bn_axis_name=self.bn_axis_name, p=self.p,
+                  dtype=self.dtype)
         mid = self.features // 2 if self.narrow else self.features
-        x_act4 = activate(y_in, aff_in, "mish", self.dtype
-                          ).reshape(bq, h, w, -1)
+        # carry forms: 4D + affine None = already-activated stage
+        # input; 4D + affine = raw 3x3/stem output (a rows round-trip
+        # there materializes 1.4 GB transpose pairs in backward —
+        # profiled); 2D rows + affine = raw GEMM output
+        if y_in.ndim == 4:
+            x_act4 = (y_in if aff_in is None
+                      else activate(y_in, aff_in, "mish", self.dtype))
+        else:
+            x_act4 = rows_to(
+                activate(y_in, aff_in, "mish", self.dtype), bq, h, w)
         dn_y, dn_aff = PackedConvBN3x3(
             self.features, 3, 2, act="mish", **kw,
             name="down")(x_act4, train)
         h, w = dn_y.shape[1], dn_y.shape[2]
-        dn2 = dn_y.reshape(-1, dn_y.shape[-1])
+        dn2 = rows_of(dn_y)
         cross_y, cross_aff = PackedGemmConvBN(
             mid, act="mish", **kw,
             name="cross")([(dn2, dn_aff)], train)

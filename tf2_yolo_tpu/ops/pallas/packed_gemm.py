@@ -95,7 +95,7 @@ def _prologue(x, a, b, act):
 
 def _pick_mblk(m, preferred):
     for cand in (preferred, 8192, 4096, 2048, 1024, 512, 256, 128, 64,
-                 32, 16, 8):
+                 32, 16, 8, 4, 2, 1):
         if cand <= preferred and m % cand == 0:
             return cand
     raise ValueError(f"M={m} has no usable row-block divisor")
