@@ -49,7 +49,10 @@ FUSED = os.environ.get("BENCH_FUSED", "0") == "1"
 # packed_region.py set_packed_early) — 1x1 convs as fused Pallas
 # prologue-GEMMs, exact math, parity-tested (test_packed_region.py).
 # BENCH_PACKED=2 additionally batch-packs stem/stage1/stage2
-# ([B/2,H,W,2C], block-diag weights).
+# ([B/2,H,W,2C], block-diag weights) with 3x3s on XLA.
+# BENCH_PACKED=3: stages 1-2 entirely in Pallas (3x3s as fused 9-tap
+# GEMMs — ops/pallas/packed_conv3x3.py, residual chains as sum-GEMM
+# term lists), unpacked XLA stem.
 PACKED = int(os.environ.get("BENCH_PACKED", "0"))
 # BENCH_BN_SG=1: stop-gradient BatchNorm statistics (models/layers.py
 # set_bn_stats_stop_gradient) — forward/loss identical, backward uses
@@ -110,7 +113,7 @@ def main():
         set_fused_convbn(True)
     if PACKED:
         from tf2_yolo_tpu.models.layers import set_packed_early
-        set_packed_early(True, p2=PACKED >= 2)
+        set_packed_early(True, p2=PACKED == 2, p3=PACKED >= 3)
     if BN_SG:
         from tf2_yolo_tpu.models.layers import set_bn_stats_stop_gradient
         set_bn_stats_stop_gradient(

@@ -210,3 +210,85 @@ def test_packed_p1_only_forward_matches(packed_mode):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
             err_msg=jax.tree_util.keystr(path))
+
+
+@pytest.fixture
+def p3_mode():
+    from tf2_yolo_tpu.ops.pallas import packed_conv3x3
+    packed_gemm.set_interpret(True)
+    packed_conv3x3.set_interpret(True)
+    set_packed_early(True, p3=True)
+    yield
+    set_packed_early(False)
+    packed_conv3x3.set_interpret(False)
+    packed_gemm.set_interpret(False)
+
+
+def test_p3_forward_and_stats_match(p3_mode):
+    """All-Pallas early region (P3CSPStage: fused 9-tap 3x3 GEMMs,
+    sum-GEMM residual term lists) == the normal flax path."""
+    module, variables, x = _setup()
+    set_packed_early(False)
+    out_n, mut_n = _train_apply(module, variables, x)
+    set_packed_early(True, p3=True)
+    out_p, mut_p = _train_apply(module, variables, x)
+    for a, b in zip(out_p, out_n):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+    leaves_n = jax.tree_util.tree_leaves_with_path(mut_n)
+    leaves_p = jax.tree_util.tree_leaves_with_path(mut_p)
+    assert [p for p, _ in leaves_p] == [p for p, _ in leaves_n]
+    for (path, a), (_, b) in zip(leaves_p, leaves_n):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_p3_grads_match(p3_mode):
+    """Conditioning-calibrated gradient parity for the all-Pallas
+    region (same criterion as test_packed_grads_match)."""
+    module, variables, x = _setup()
+
+    def loss_fn(params, batch_stats, xin):
+        out, _ = module.apply(
+            {"params": params, "batch_stats": batch_stats}, xin,
+            train=True, mutable=["batch_stats"])
+        return sum(jnp.mean(jnp.log1p(o.astype(jnp.float32) ** 2))
+                   for o in out)
+
+    args = (variables["params"], variables["batch_stats"])
+    set_packed_early(False)
+    loss_n, g_n = jax.value_and_grad(loss_fn)(*args, x)
+    g_c = jax.grad(loss_fn)(*args, x + 1e-6)
+    set_packed_early(True, p3=True)
+    loss_p, g_p = jax.value_and_grad(loss_fn)(*args, x)
+    np.testing.assert_allclose(float(loss_p), float(loss_n),
+                               rtol=1e-4)
+    leaves_n = jax.tree_util.tree_leaves_with_path(g_n)
+    leaves_p = jax.tree_util.tree_leaves_with_path(g_p)
+    leaves_c = jax.tree_util.tree_leaves_with_path(g_c)
+    assert [p for p, _ in leaves_p] == [p for p, _ in leaves_n]
+    for (path, a), (_, b), (_, c) in zip(leaves_p, leaves_n,
+                                         leaves_c):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        c = np.asarray(c, np.float32)
+        nb = max(np.linalg.norm(b), 1e-9)
+        err_pack = np.linalg.norm(a - b) / nb
+        err_cond = np.linalg.norm(c - b) / nb
+        assert err_pack < max(100 * err_cond, 5e-3), (
+            jax.tree_util.keystr(path), err_pack, err_cond)
+        assert err_pack < 0.2, (jax.tree_util.keystr(path), err_pack)
+
+
+def test_p3_eval_identical_and_odd_batch_falls_back(p3_mode):
+    module, variables, x = _setup()
+    out_p = module.apply(variables, x, train=False)
+    set_packed_early(False)
+    out_n = module.apply(variables, x, train=False)
+    for a, b in zip(out_p, out_n):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    set_packed_early(True, p3=True)
+    out, _ = module.apply(variables, x[:3], train=True,
+                          mutable=["batch_stats"])
+    assert all(np.isfinite(np.asarray(o)).all() for o in out)

@@ -285,7 +285,30 @@ class CSPDarknet53(nn.Module):
                   and not self.remat)
         if packed:
             from . import packed_region as pr
-            if _layers.PACKED_P2 and x.shape[0] % 2 == 0:
+            if _layers.PACKED_P3 and x.shape[0] % 2 == 0:
+                # whole early region in Pallas: unpacked XLA stem
+                # (raw + stats — avoids the pathological 6-channel
+                # packed stem dW, BASELINE.md), then batch-packed
+                # stages 1-2 with 3x3s as fused 9-tap GEMMs and the
+                # residual chains as sum-GEMM term lists
+                y4, aff = pr.PackedConvBN3x3(
+                    32, 3, 1, act="mish", p=1, **kw,
+                    name="stem")(x.astype(self.dtype), train)
+                y2 = pr.rows_of(pr.pack_batch(y4))
+                aff = (jnp.tile(aff[0], (1, 2)),
+                       jnp.tile(aff[1], (1, 2)))
+                carry = (y2, aff,
+                         (y4.shape[0] // 2, y4.shape[1], y4.shape[2]))
+                for i, (f, blocks, narrow) in enumerate(
+                        self._SPECS[:2]):
+                    carry = pr.P3CSPStage(
+                        f, blocks, narrow, **kw,
+                        name=f"stage{i + 1}")(carry, train)
+                y2, aff, (bq, h, w) = carry
+                x = pr.unpack_batch(pr.rows_to(
+                    pr.activate(y2, aff, "mish", self.dtype),
+                    bq, h, w))
+            elif _layers.PACKED_P2 and x.shape[0] % 2 == 0:
                 xp = pr.pack_batch(x.astype(self.dtype))
                 y4, aff = pr.PackedConvBN3x3(
                     32, 3, 1, act="mish", **kw,

@@ -56,15 +56,21 @@ BN_STATS_SG_SCOPE = None       # optional module-name filter
 # at trace time.
 PACKED_EARLY = False
 PACKED_P2 = False
+PACKED_P3 = False
 
 
-def set_packed_early(on, p2=False):
+def set_packed_early(on, p2=False, p3=False):
     """Enable/disable the fused-GEMM backbone path globally
     (BENCH_PACKED=1 in bench.py). ``p2`` additionally batch-packs the
-    sub-128-channel stem/stage1/stage2. See models/packed_region.py."""
-    global PACKED_EARLY, PACKED_P2
+    sub-128-channel stem/stage1/stage2 with their 3x3s on XLA
+    (BENCH_PACKED=2); ``p3`` runs those stages entirely in Pallas —
+    3x3/stride-2 convs as fused 9-tap GEMMs, residual chains as
+    sum-GEMM term lists (BENCH_PACKED=3, takes precedence over p2).
+    See models/packed_region.py."""
+    global PACKED_EARLY, PACKED_P2, PACKED_P3
     PACKED_EARLY = bool(on)
     PACKED_P2 = bool(p2)
+    PACKED_P3 = bool(p3)
 
 # Channel gate for the static-scale int8 inference path (see
 # set_int8_min_channels). 0 = quantize every calibrated ConvBN.

@@ -44,6 +44,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.pallas.packed_conv3x3 import fused_conv3x3
 from ..ops.pallas.packed_gemm import fused_gemm
 
 P = 2                       # packing factor (two images per lane row)
@@ -221,31 +222,46 @@ class PackedGemmConvBN(nn.Module):
     (x2d [M, p*Ci], affine-or-None) pairs — raw producer outputs fuse
     the producer's BN+act in this layer's input read; activated
     tensors pass affine None. Returns (raw y2d, consumer affine).
-    Parameter tree == ConvBN's."""
+    Parameter tree == ConvBN's.
+
+    ``sum_inputs`` switches the multi-input semantics from channel
+    concatenation (the kernel split along Cin per operand) to a SUM
+    over the full kernel: y = (sum_i g_i(x_i)) @ w. That is exactly a
+    CSP residual chain consumed without materializing the adds —
+    block_out = act(pre) + act(ex1) + ... distributes over the matmul
+    (P3CSPStage)."""
     features: int
     act: str = "mish"          # activation inside fused prologues
     bn_axis_name: Optional[str] = None
     p: int = P
+    sum_inputs: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, inputs, train: bool = True):
         from .layers import _BNState, _ConvKernel
-        cin = sum(x.shape[-1] for x, _ in inputs) // self.p
+        if self.sum_inputs:
+            cin = inputs[0][0].shape[-1] // self.p
+        else:
+            cin = sum(x.shape[-1] for x, _ in inputs) // self.p
         k, _ = _ConvKernel(self.features, 1, False,
                            name="conv")(cin)
         scale, bias, ra_mean, ra_var = _BNState(
             self.features, name="bn")()
         # split the [1,1,Cin,Co] kernel along Cin per input operand,
-        # block-diag-expand each slice (concat-free concat handling)
+        # block-diag-expand each slice (concat-free concat handling);
+        # sum_inputs: every operand takes the full kernel instead
         w = k[0, 0]
         ws, offset = [], 0
         for x, _ in inputs:
-            ci = x.shape[-1] // self.p
-            wi = w[offset:offset + ci]
+            if self.sum_inputs:
+                wi = w
+            else:
+                ci = x.shape[-1] // self.p
+                wi = w[offset:offset + ci]
+                offset += ci
             ws.append((wi if self.p == 1
                        else _block_diag(wi, self.p)).astype(self.dtype))
-            offset += ci
         xs = [x for x, _ in inputs]
         affines = [a for _, a in inputs]
         y, s1, s2 = fused_gemm(xs, ws, affines, act=self.act,
@@ -334,4 +350,111 @@ class PackedCSPStage(nn.Module):
             self.features, act="mish", **kw,
             name="out")([(post_y, post_aff), (cross_y, cross_aff)],
                         train)
+        return out_y, out_aff, (bq, h, w)
+
+
+class PackedPallasConvBN3x3(nn.Module):
+    """3x3 (or darknet stride-2) ConvBN as the fused Pallas 9-tap GEMM
+    (ops/pallas/packed_conv3x3.py). Consumes (raw x2d rows, producer
+    affine-or-None): the producer's BN+activation is applied in this
+    conv's input read, so no normalize pass and no activated tensor is
+    ever materialized — the tax that made the packed-XLA-conv path
+    lose end to end (BASELINE.md). Returns (raw y2d rows at the output
+    resolution, consumer affine). Parameter tree == ConvBN's.
+
+    ``act_in`` is the PRODUCER's activation (fused into the read);
+    this layer's own activation is the consumer's business, like every
+    packed module here."""
+    features: int
+    strides: int = 1
+    act_in: str = "mish"
+    bn_axis_name: Optional[str] = None
+    p: int = P
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x2d, affine, spatial, train: bool = True):
+        from .layers import _BNState, _ConvKernel
+        k, _ = _ConvKernel(self.features, 3, False,
+                           name="conv")(x2d.shape[-1] // self.p)
+        scale, bias, ra_mean, ra_var = _BNState(
+            self.features, name="bn")()
+        w = (k if self.p == 1
+             else _block_diag(k, self.p)).astype(self.dtype)
+        y, s1, s2 = fused_conv3x3(
+            x2d, w, affine, spatial=spatial, stride=self.strides,
+            act=self.act_in, dtype=self.dtype)
+        s1 = s1.reshape(self.p, -1).sum(0)
+        s2 = s2.reshape(self.p, -1).sum(0)
+        count = float(y.shape[0] * self.p)
+        mean, var = _fold_stats(s1, s2, count, self.bn_axis_name)
+        _update_running(self, ra_mean, ra_var, mean, var)
+        return y, bn_affine(mean, var, scale, bias, self.p)
+
+
+class P3CSPResBlock(nn.Module):
+    """CSP residual module with NOTHING materialized: takes the
+    running term list [(raw y2d, affine), ...] whose activated sum is
+    the block input, returns the expand conv's (raw, affine) term —
+    the caller appends it to the list (residual add by distribution,
+    see PackedGemmConvBN.sum_inputs). Tree == CSPResBlock."""
+    mid: int
+    out: int
+    spatial: Any = None
+    bn_axis_name: Optional[str] = None
+    p: int = P
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, terms, train: bool = True):
+        kw = dict(bn_axis_name=self.bn_axis_name, p=self.p,
+                  dtype=self.dtype)
+        sq_y, sq_aff = PackedGemmConvBN(
+            self.mid, act="mish", sum_inputs=True, **kw,
+            name="squeeze")(terms, train)
+        return PackedPallasConvBN3x3(
+            self.out, 1, act_in="mish", **kw,
+            name="expand")(sq_y, sq_aff, self.spatial, train)
+
+
+class P3CSPStage(nn.Module):
+    """CSPStage executed entirely in Pallas (tree == CSPStage): the
+    3x3/stride-2 convs are fused 9-tap GEMMs and the residual chain is
+    a term list consumed by sum-GEMMs, so between kernel outputs (raw
+    conv results — unavoidable) no tensor is materialized: no BN
+    normalize, no activation pass, no residual add, no concat. Takes
+    and returns (raw y2d rows, affine, (Bq, H, W))."""
+    features: int
+    blocks: int
+    narrow: bool = True
+    bn_axis_name: Optional[str] = None
+    p: int = P
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, train: bool = True):
+        y_in, aff_in, (bq, h, w) = carry
+        kw = dict(bn_axis_name=self.bn_axis_name, p=self.p,
+                  dtype=self.dtype)
+        mid = self.features // 2 if self.narrow else self.features
+        dn_y, dn_aff = PackedPallasConvBN3x3(
+            self.features, 2, act_in="mish", **kw,
+            name="down")(y_in, aff_in, (bq, h, w), train)
+        h, w = h // 2, w // 2
+        cross = PackedGemmConvBN(
+            mid, act="mish", **kw,
+            name="cross")([(dn_y, dn_aff)], train)
+        pre = PackedGemmConvBN(
+            mid, act="mish", **kw, name="pre")([(dn_y, dn_aff)], train)
+        terms = [pre]
+        for b in range(self.blocks):
+            terms.append(P3CSPResBlock(
+                self.features // 2, mid, spatial=(bq, h, w), **kw,
+                name=f"block{b + 1}")(terms, train))
+        post = PackedGemmConvBN(
+            mid, act="mish", sum_inputs=True, **kw,
+            name="post")(terms, train)
+        out_y, out_aff = PackedGemmConvBN(
+            self.features, act="mish", **kw,
+            name="out")([post, cross], train)
         return out_y, out_aff, (bq, h, w)

@@ -1,0 +1,116 @@
+"""Microbench: the fused 9-tap Pallas 3x3 conv (ops/pallas/
+packed_conv3x3.py) vs XLA's (normalize+mish materialize -> conv3x3 ->
+stats) chain at the CSPDarknet early-stage shapes — forward AND full
+train (value_and_grad) per layer.
+
+Shapes probed (YOLOv4 @416, b128, batch-packed p=2):
+  stage1-expand   208^2, 64ch packed -> [M=208*208*64, 128], stride 1
+  stage1-down     416^2, 32->64ch packed (64->128 lanes), stride 2
+  stage2-expand   104^2, 64ch packed, stride 1
+
+Run on the TPU (the axon tunnel must be up):
+  python tools/bench_packed_conv3x3_probe.py
+
+The XLA side replicates what the BENCH_PACKED=2 region actually pays:
+an explicit activate pass (producer normalize+mish), the packed conv,
+and the channel-sum statistics with the custom-VJP fold
+(models/packed_region.py _sums).
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tf2_yolo_tpu.models.packed_region import (
+    _block_diag, _sums, activate, rows_of, rows_to)
+from tf2_yolo_tpu.ops.pallas.packed_conv3x3 import fused_conv3x3
+
+STEPS = 10
+
+
+def bench(fn, *args):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        out = fn(*args)
+    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    return (time.perf_counter() - t0) / STEPS * 1e3
+
+
+def probe(name, bq, h, w, cin, cout, stride):
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    kp, kq = 2 * cin, 2 * cout
+    x2 = jax.device_put(
+        jax.random.normal(k1, (h * w * bq, kp), jnp.bfloat16) * 0.1)
+    wk = jax.device_put(
+        jax.random.normal(k2, (3, 3, cin, cout), jnp.float32) * 0.05)
+    a = jax.device_put(jnp.ones((1, kp), jnp.float32))
+    b = jax.device_put(jnp.zeros((1, kp), jnp.float32))
+    cy = jax.device_put(jnp.full(
+        ((h // stride) * (w // stride) * bq, kq), 1e-4, jnp.bfloat16))
+
+    @jax.jit
+    def pallas_fwd(x2, wk, a, b):
+        w2 = _block_diag(wk).astype(jnp.bfloat16)
+        return fused_conv3x3(x2, w2, (a, b), spatial=(bq, h, w),
+                             stride=stride, act="mish")
+
+    @jax.jit
+    def pallas_train(x2, wk, a, b):
+        def loss(args):
+            x2, wk, a, b = args
+            w2 = _block_diag(wk).astype(jnp.bfloat16)
+            y, s1, s2 = fused_conv3x3(
+                x2, w2, (a, b), spatial=(bq, h, w), stride=stride,
+                act="mish")
+            return (jnp.sum((y * cy).astype(jnp.float32))
+                    + jnp.sum(s1) * 1e-4 + jnp.sum(s2) * 1e-5)
+        return jax.value_and_grad(loss)((x2, wk, a, b))
+
+    def _xla_fwd(x2, wk, a, b):
+        g = activate(x2, (a, b), "mish", jnp.bfloat16)
+        g4 = rows_to(g, bq, h, w)
+        w2 = _block_diag(wk).astype(jnp.bfloat16)
+        if stride == 2:
+            g4 = jnp.pad(g4, ((0, 0), (1, 0), (1, 0), (0, 0)))
+            pad = "VALID"
+        else:
+            pad = "SAME"
+        y = jax.lax.conv_general_dilated(
+            g4, w2, (stride, stride), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        s1, s2 = _sums(y)
+        return rows_of(y), s1, s2
+
+    xla_fwd = jax.jit(_xla_fwd)
+
+    @jax.jit
+    def xla_train(x2, wk, a, b):
+        def loss(args):
+            y, s1, s2 = _xla_fwd(*args)
+            return (jnp.sum((y * cy).astype(jnp.float32))
+                    + jnp.sum(s1) * 1e-4 + jnp.sum(s2) * 1e-5)
+        return jax.value_and_grad(loss)((x2, wk, a, b))
+
+    t_pf = bench(pallas_fwd, x2, wk, a, b)
+    t_xf = bench(xla_fwd, x2, wk, a, b)
+    t_pt = bench(pallas_train, x2, wk, a, b)
+    t_xt = bench(xla_train, x2, wk, a, b)
+    print(f"{name:16s} fwd pallas {t_pf:7.2f}  xla {t_xf:7.2f}  "
+          f"ratio {t_pf / t_xf:.2f} | train pallas {t_pt:7.2f}  "
+          f"xla {t_xt:7.2f}  ratio {t_pt / t_xt:.2f}")
+
+
+def main():
+    print(f"device={jax.devices()[0]}")
+    probe("stage1-expand", 64, 208, 208, 64, 64, 1)
+    probe("stage1-down", 64, 416, 416, 32, 64, 2)
+    probe("stage2-expand", 64, 104, 104, 64, 64, 1)
+
+
+if __name__ == "__main__":
+    main()
