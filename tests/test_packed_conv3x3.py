@@ -141,3 +141,52 @@ def test_stride1_rectangular_and_bigger_batch():
         rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(s2), np.asarray(s2_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("has_affine", [True, False])
+def test_im2col_forward_and_grads_match(has_affine):
+    """Small-K im2col mode (the stem's shape class): one wide dot per
+    direction must equal the oracle exactly like the 9-dot path."""
+    bq, h, w, k, n = 2, 6, 8, 6, 8
+    x4, wk, affine = _setup(bq, h, w, k, n, has_affine, seed=4)
+    y_ref, s1_ref, s2_ref = _oracle(x4, wk, affine, 1, "mish")
+    y2, s1, s2 = packed_conv3x3.fused_conv3x3(
+        rows_of(x4), wk, affine, spatial=(bq, h, w), stride=1,
+        act="mish", im2col=True, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(rows_to(y2, bq, h, w)), np.asarray(y_ref),
+        rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s2_ref),
+                               rtol=1e-5, atol=1e-5)
+
+    rng = np.random.RandomState(5)
+    cy = jnp.asarray(rng.randn(bq, h, w, n), jnp.float32)
+    c1 = jnp.asarray(rng.randn(1, n), jnp.float32)
+    c2 = jnp.asarray(rng.randn(1, n) * 0.1, jnp.float32)
+
+    def loss_kernel(x4, wk, a, b):
+        aff = (a, b) if has_affine else None
+        y2, s1, s2 = packed_conv3x3.fused_conv3x3(
+            rows_of(x4), wk, aff, spatial=(bq, h, w), stride=1,
+            act="mish", im2col=True, dtype=jnp.float32)
+        return (jnp.sum(rows_to(y2, bq, h, w) * cy)
+                + jnp.sum(s1 * c1) + jnp.sum(s2 * c2))
+
+    def loss_oracle(x4, wk, a, b):
+        aff = (a, b) if has_affine else None
+        y, s1, s2 = _oracle(x4, wk, aff, 1, "mish")
+        return (jnp.sum(y * cy) + jnp.sum(s1 * c1)
+                + jnp.sum(s2 * c2))
+
+    a0 = affine[0] if has_affine else jnp.ones((1, k), jnp.float32)
+    b0 = affine[1] if has_affine else jnp.zeros((1, k), jnp.float32)
+    args = (x4, wk, a0, b0)
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2, 3))(*args)
+    go = jax.grad(loss_oracle, argnums=(0, 1, 2, 3))(*args)
+    for name, a, b in zip(["dx", "dw", "da", "db"], gk, go):
+        if not has_affine and name in ("da", "db"):
+            continue
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        l2 = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-9)
+        assert l2 < 1e-5, (name, l2)

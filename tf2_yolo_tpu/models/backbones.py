@@ -286,19 +286,20 @@ class CSPDarknet53(nn.Module):
         if packed:
             from . import packed_region as pr
             if _layers.PACKED_P3 and x.shape[0] % 2 == 0:
-                # whole early region in Pallas: unpacked XLA stem
-                # (raw + stats — avoids the pathological 6-channel
-                # packed stem dW, BASELINE.md), then batch-packed
+                # whole early region in Pallas: the stem consumes the
+                # batch-packed IMAGE through the small-K im2col kernel
+                # (one [R,54]x[54,64] dot — sidesteps both the
+                # pathological 6-channel packed XLA dW and the 1.4 GB
+                # stem-output pack transposes), then batch-packed
                 # stages 1-2 with 3x3s as fused 9-tap GEMMs and the
                 # residual chains as sum-GEMM term lists
-                y4, aff = pr.PackedConvBN3x3(
-                    32, 3, 1, act="mish", p=1, **kw,
-                    name="stem")(x.astype(self.dtype), train)
-                y2 = pr.rows_of(pr.pack_batch(y4))
-                aff = (jnp.tile(aff[0], (1, 2)),
-                       jnp.tile(aff[1], (1, 2)))
-                carry = (y2, aff,
-                         (y4.shape[0] // 2, y4.shape[1], y4.shape[2]))
+                xp = pr.pack_batch(x.astype(self.dtype))
+                bq, hh, wwid = xp.shape[0], xp.shape[1], xp.shape[2]
+                y2, aff = pr.PackedPallasConvBN3x3(
+                    32, 1, im2col=True, **kw,
+                    name="stem")(pr.rows_of(xp), None,
+                                 (bq, hh, wwid), train)
+                carry = (y2, aff, (bq, hh, wwid))
                 for i, (f, blocks, narrow) in enumerate(
                         self._SPECS[:2]):
                     carry = pr.P3CSPStage(

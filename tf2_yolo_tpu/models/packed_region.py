@@ -364,10 +364,13 @@ class PackedPallasConvBN3x3(nn.Module):
 
     ``act_in`` is the PRODUCER's activation (fused into the read);
     this layer's own activation is the consumer's business, like every
-    packed module here."""
+    packed module here. ``im2col`` selects the wide-dot small-K kernel
+    variant (the stem: packed K=6 would waste 122 of the 128 MXU
+    contraction lanes on the 9-dot path)."""
     features: int
     strides: int = 1
     act_in: str = "mish"
+    im2col: bool = False
     bn_axis_name: Optional[str] = None
     p: int = P
     dtype: Any = jnp.float32
@@ -383,7 +386,7 @@ class PackedPallasConvBN3x3(nn.Module):
              else _block_diag(k, self.p)).astype(self.dtype)
         y, s1, s2 = fused_conv3x3(
             x2d, w, affine, spatial=spatial, stride=self.strides,
-            act=self.act_in, dtype=self.dtype)
+            act=self.act_in, im2col=self.im2col, dtype=self.dtype)
         s1 = s1.reshape(self.p, -1).sum(0)
         s2 = s2.reshape(self.p, -1).sum(0)
         count = float(y.shape[0] * self.p)

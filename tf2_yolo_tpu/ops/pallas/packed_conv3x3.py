@@ -124,6 +124,58 @@ def _fwd_s1_kernel(bq, wdim, act, has_affine, refs):
     s2_ref[...] += jnp.sum(yf * yf, axis=0, keepdims=True)
 
 
+# ----------------------------------------------------- fwd s1 im2col
+
+def _im2col(ext, r, bq, k, m_w0, m_wl):
+    """[9 taps] x [R, K] masked segments concatenated along lanes —
+    the [R, 9K] im2col block. Only worth it for small K (the stem's
+    K=6): one full-contraction dot replaces nine K-deep ones."""
+    cols = []
+    for dh, dw in _TAPS:
+        seg = jax.lax.slice(ext, (dh * r + dw * bq, 0),
+                            (dh * r + dw * bq + r, k))
+        if dw == 0:
+            seg = seg * m_w0.astype(seg.dtype)
+        elif dw == 2:
+            seg = seg * m_wl.astype(seg.dtype)
+        cols.append(seg)
+    return jnp.concatenate(cols, axis=1)
+
+
+def _fwd_s1_im2col_kernel(bq, wdim, act, has_affine, refs):
+    (xm_ref, xc_ref, xp_ref, w_ref, a_ref, b_ref,
+     y_ref, s1_ref, s2_ref) = refs
+    r, k = xc_ref.shape
+    pid = pl.program_id(0)
+    last = pl.num_programs(0) - 1
+
+    g_m = _maybe_prologue(xm_ref[...], a_ref, b_ref, act, has_affine)[0]
+    g_c = _maybe_prologue(xc_ref[...], a_ref, b_ref, act, has_affine)[0]
+    g_p = _maybe_prologue(xp_ref[...], a_ref, b_ref, act, has_affine)[0]
+    g_m = jnp.where(pid == 0, jnp.zeros_like(g_m), g_m)
+    g_p = jnp.where(pid == last, jnp.zeros_like(g_p), g_p)
+    zb = jnp.zeros((bq, k), g_c.dtype)
+    ext = jnp.concatenate([zb, g_m, g_c, g_p, zb], axis=0)
+
+    col_idx = _col_index(r, bq)
+    m_w0 = (col_idx > 0).astype(jnp.float32)
+    m_wl = (col_idx < wdim - 1).astype(jnp.float32)
+    col = _im2col(ext, r, bq, k, m_w0, m_wl)
+    yb = jax.lax.dot(col, w_ref[...],
+                     preferred_element_type=jnp.float32
+                     ).astype(y_ref.dtype)
+    y_ref[...] = yb
+
+    @pl.when(pid == 0)
+    def _init():
+        s1_ref[...] = jnp.zeros_like(s1_ref)
+        s2_ref[...] = jnp.zeros_like(s2_ref)
+
+    yf = yb.astype(jnp.float32)
+    s1_ref[...] += jnp.sum(yf, axis=0, keepdims=True)
+    s2_ref[...] += jnp.sum(yf * yf, axis=0, keepdims=True)
+
+
 # ------------------------------------------------------------ fwd s2
 
 def _fwd_s2_kernel(bq, w2, act, has_affine, refs):
@@ -170,7 +222,7 @@ def _fwd_s2_kernel(bq, w2, act, has_affine, refs):
 
 
 def _fwd_call(x2d, wflat, a, b, bq, hdim, wdim, stride, act,
-              has_affine):
+              has_affine, im2col):
     rin = wdim * bq
     k = x2d.shape[1]
     n = wflat.shape[1]
@@ -187,8 +239,9 @@ def _fwd_call(x2d, wflat, a, b, bq, hdim, wdim, stride, act,
             pl.BlockSpec((1, k), lambda i: (0, 0)),
         ]
         rout, hout = rin, hdim
-        kernel = functools.partial(_fwd_s1_kernel, bq, wdim, act,
-                                   has_affine)
+        kernel = functools.partial(
+            _fwd_s1_im2col_kernel if im2col else _fwd_s1_kernel,
+            bq, wdim, act, has_affine)
     else:
         h2, w2 = hdim // 2, wdim // 2
         grid = (h2,)
@@ -331,6 +384,102 @@ def _bwd_s1_kernel(bq, wdim, act, has_affine, refs):
             preferred_element_type=jnp.float32)
 
 
+# ----------------------------------------------------- bwd s1 im2col
+
+def _bwd_s1_im2col_kernel(bq, wdim, act, has_affine, refs):
+    (xm_ref, xc_ref, xp_ref, dym_ref, dyc_ref, dyp_ref,
+     ym_ref, yc_ref, yp_ref, w_ref, a_ref, b_ref, ds1_ref, ds2_ref,
+     dx_ref, dwf_ref, da_ref, db_ref) = refs
+    r, k = xc_ref.shape
+    n = dyc_ref.shape[1]
+    dt = xc_ref.dtype
+    pid = pl.program_id(0)
+    last = pl.num_programs(0) - 1
+
+    @pl.when(pid == 0)
+    def _init():
+        dwf_ref[...] = jnp.zeros_like(dwf_ref)
+        da_ref[...] = jnp.zeros_like(da_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    ds1 = ds1_ref[...]
+    ds2 = ds2_ref[...]
+    two_ds2 = 2.0 * ds2
+    first_z = lambda v: jnp.where(pid == 0, jnp.zeros_like(v), v)
+    last_z = lambda v: jnp.where(pid == last, jnp.zeros_like(v), v)
+
+    col_idx = _col_index(r, bq)
+    m_w0 = (col_idx > 0).astype(jnp.float32)
+    m_wl = (col_idx < wdim - 1).astype(jnp.float32)
+
+    # dg via one wide transposed dot over the dyt halo: dcol_ext =
+    # dyt_ext @ w^T (term-split; the rank-1 ds1 term applies only to
+    # in-image ext rows), then nine shifted masked adds
+    dy_m = first_z(dym_ref[...])
+    dy_c = dyc_ref[...]
+    dy_p = last_z(dyp_ref[...])
+    yd_m = first_z((ym_ref[...].astype(jnp.float32)
+                    * two_ds2).astype(dt))
+    yd_c = (yc_ref[...].astype(jnp.float32) * two_ds2).astype(dt)
+    yd_p = last_z((yp_ref[...].astype(jnp.float32)
+                   * two_ds2).astype(dt))
+    zn = jnp.zeros((bq, n), dt)
+    dy_ext = jnp.concatenate([zn, dy_m, dy_c, dy_p, zn], axis=0)
+    yd_ext = jnp.concatenate([zn, yd_m, yd_c, yd_p, zn], axis=0)
+    gate = lambda cond: jnp.where(cond, 0.0, 1.0)
+    ones_r = jnp.ones((r, 1), jnp.float32)
+    vext = jnp.concatenate([
+        jnp.zeros((bq, 1), jnp.float32),
+        ones_r * gate(pid == 0), ones_r, ones_r * gate(pid == last),
+        jnp.zeros((bq, 1), jnp.float32)], axis=0)
+    dcol_ext = (jax.lax.dot_general(
+                    dy_ext, w_ref[...], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(
+                    yd_ext, w_ref[...], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                + vext * jax.lax.dot_general(
+                    ds1, w_ref[...], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+    dg = jnp.zeros((r, k), jnp.float32)
+    for tap, (dh, dw) in enumerate(_TAPS):
+        start = (2 - dh) * r + (2 - dw) * bq
+        part = jax.lax.slice(dcol_ext, (start, tap * k),
+                             (start + r, (tap + 1) * k))
+        if dw == 2:
+            part = part * m_w0
+        elif dw == 0:
+            part = part * m_wl
+        dg = dg + part
+
+    if has_affine:
+        _, gp_c, xf_c = _prologue(xc_ref[...], a_ref, b_ref, act)
+        dz = dg * gp_c
+        dx_ref[...] = (dz * a_ref[0, :]).astype(dt)
+        da_ref[...] += jnp.sum(dz * xf_c, axis=0, keepdims=True)
+        db_ref[...] += jnp.sum(dz, axis=0, keepdims=True)
+    else:
+        dx_ref[...] = dg.astype(dt)
+
+    # dW: one im2col rebuild + one full-contraction dot
+    g_m = _maybe_prologue(xm_ref[...], a_ref, b_ref, act,
+                          has_affine)[0]
+    g_c = _maybe_prologue(xc_ref[...], a_ref, b_ref, act,
+                          has_affine)[0]
+    g_p = _maybe_prologue(xp_ref[...], a_ref, b_ref, act,
+                          has_affine)[0]
+    g_m = first_z(g_m)
+    g_p = last_z(g_p)
+    zk = jnp.zeros((bq, k), g_c.dtype)
+    g_ext = jnp.concatenate([zk, g_m, g_c, g_p, zk], axis=0)
+    col = _im2col(g_ext, r, bq, k, m_w0, m_wl)
+    dyt = (dy_c.astype(jnp.float32) + ds1
+           + yc_ref[...].astype(jnp.float32) * two_ds2).astype(dt)
+    dwf_ref[...] += jax.lax.dot_general(
+        col, dyt, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
 # ------------------------------------------------------------ bwd s2
 
 def _bwd_s2_kernel(bq, wdim, act, has_affine, refs):
@@ -443,7 +592,7 @@ def _bwd_s2_kernel(bq, wdim, act, has_affine, refs):
 
 
 def _bwd_call(x2d, wflat, a, b, y2d, dy, ds1, ds2,
-              bq, hdim, wdim, stride, act, has_affine):
+              bq, hdim, wdim, stride, act, has_affine, im2col):
     rin = wdim * bq
     k = x2d.shape[1]
     n = wflat.shape[1]
@@ -465,8 +614,9 @@ def _bwd_call(x2d, wflat, a, b, y2d, dy, ds1, ds2,
         ins = (x2d, x2d, x2d, dy, dy, dy, y2d, y2d, y2d,
                wflat, a, b, ds1, ds2)
         dx_rows = rin
-        kernel = functools.partial(_bwd_s1_kernel, bq, wdim, act,
-                                   has_affine)
+        kernel = functools.partial(
+            _bwd_s1_im2col_kernel if im2col else _bwd_s1_kernel,
+            bq, wdim, act, has_affine)
     else:
         h2, w2 = hdim // 2, wdim // 2
         rout = w2 * bq
@@ -512,11 +662,11 @@ def _bwd_call(x2d, wflat, a, b, y2d, dy, ds1, ds2,
 # ----------------------------------------------------------- wrapper
 
 @functools.lru_cache(maxsize=None)
-def _build(bq, hdim, wdim, stride, act, has_affine):
+def _build(bq, hdim, wdim, stride, act, has_affine, im2col):
     @jax.custom_vjp
     def f(x2d, wflat, a, b):
         return _fwd_call(x2d, wflat, a, b, bq, hdim, wdim, stride,
-                         act, has_affine)
+                         act, has_affine, im2col)
 
     def fwd(x2d, wflat, a, b):
         y, s1, s2 = f(x2d, wflat, a, b)
@@ -527,7 +677,7 @@ def _build(bq, hdim, wdim, stride, act, has_affine):
         dy, ds1, ds2 = cts
         dx, dwf, da, db = _bwd_call(
             x2d, wflat, a, b, y, dy, ds1, ds2,
-            bq, hdim, wdim, stride, act, has_affine)
+            bq, hdim, wdim, stride, act, has_affine, im2col)
         return (dx.astype(x2d.dtype), dwf.astype(wflat.dtype),
                 da.astype(a.dtype), db.astype(b.dtype))
 
@@ -536,7 +686,7 @@ def _build(bq, hdim, wdim, stride, act, has_affine):
 
 
 def fused_conv3x3(x2d, w, affine, *, spatial, stride=1, act="mish",
-                  dtype=jnp.bfloat16):
+                  im2col=False, dtype=jnp.bfloat16):
     """3x3 convolution on packed (h,w,b)-major rows, with the
     producer's BN affine+activation fused into the input read and the
     raw output's channel sums in the epilogue.
@@ -549,6 +699,10 @@ def fused_conv3x3(x2d, w, affine, *, spatial, stride=1, act="mish",
     spatial: (Bq, H, W) of the input rows.
     stride:  1 (SAME) or 2 (darknet top/left pad + VALID —
              models/layers.py ConvBN's pinned stride-2 geometry).
+    im2col:  stride-1 only — build the [R, 9K] tap-concatenated block
+             and run ONE full-contraction dot per direction instead of
+             nine K-deep ones. Only profitable for small K (the stem's
+             packed K=6, where a K-deep dot uses 6/128 of the MXU).
 
     Returns (y2d [(H/stride)*(W/stride)*Bq, N], s1 [1,N] f32,
     s2 [1,N] f32) — the fused_gemm contract, differentiable via a
@@ -563,6 +717,8 @@ def fused_conv3x3(x2d, w, affine, *, spatial, stride=1, act="mish",
     else:
         a = jnp.ones((1, k), jnp.float32)
         b = jnp.zeros((1, k), jnp.float32)
+    if im2col and stride != 1:
+        raise ValueError("im2col is a stride-1 mode")
     wflat = w.reshape(9 * k, w.shape[-1]).astype(dtype)
-    f = _build(bq, hdim, wdim, stride, act, has_affine)
+    f = _build(bq, hdim, wdim, stride, act, has_affine, im2col)
     return f(x2d.astype(dtype), wflat, a, b)

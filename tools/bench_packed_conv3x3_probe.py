@@ -105,11 +105,58 @@ def probe(name, bq, h, w, cin, cout, stride):
           f"xla {t_xt:7.2f}  ratio {t_pt / t_xt:.2f}")
 
 
+def probe_stem(bq=64, h=416, w=416, cout=32):
+    """Pallas im2col stem on the packed image vs the real alternative:
+    unpacked XLA conv (3ch) + stats + pack transpose of the output."""
+    key = jax.random.PRNGKey(1)
+    k1, k2 = jax.random.split(key)
+    ximg = jax.device_put(
+        jax.random.normal(k1, (2 * bq, h, w, 3), jnp.bfloat16))
+    wk = jax.device_put(
+        jax.random.normal(k2, (3, 3, 3, cout), jnp.float32) * 0.05)
+    cy = jax.device_put(jnp.full(
+        (h * w * bq, 2 * cout), 1e-4, jnp.bfloat16))
+
+    from tf2_yolo_tpu.models.packed_region import pack_batch
+
+    @jax.jit
+    def pallas_train(ximg, wk):
+        def loss(args):
+            ximg, wk = args
+            x2 = rows_of(pack_batch(ximg))
+            w2 = _block_diag(wk).astype(jnp.bfloat16)
+            y, s1, s2 = fused_conv3x3(
+                x2, w2, None, spatial=(bq, h, w), stride=1,
+                act="mish", im2col=True)
+            return (jnp.sum((y * cy).astype(jnp.float32))
+                    + jnp.sum(s1) * 1e-4 + jnp.sum(s2) * 1e-5)
+        return jax.value_and_grad(loss)((ximg, wk))
+
+    @jax.jit
+    def xla_train(ximg, wk):
+        def loss(args):
+            ximg, wk = args
+            y = jax.lax.conv_general_dilated(
+                ximg, wk.astype(jnp.bfloat16), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            s1, s2 = _sums(y)
+            yp = rows_of(pack_batch(y))   # feed downstream packed
+            return (jnp.sum((yp * cy).astype(jnp.float32))
+                    + jnp.sum(s1) * 1e-4 + jnp.sum(s2) * 1e-5)
+        return jax.value_and_grad(loss)((ximg, wk))
+
+    t_p = bench(pallas_train, ximg, wk)
+    t_x = bench(xla_train, ximg, wk)
+    print(f"{'stem-im2col':16s} train pallas {t_p:7.2f}  "
+          f"xla+pack {t_x:7.2f}  ratio {t_p / t_x:.2f}")
+
+
 def main():
     print(f"device={jax.devices()[0]}")
     probe("stage1-expand", 64, 208, 208, 64, 64, 1)
     probe("stage1-down", 64, 416, 416, 32, 64, 2)
     probe("stage2-expand", 64, 104, 104, 64, 64, 1)
+    probe_stem()
 
 
 if __name__ == "__main__":
