@@ -14,17 +14,24 @@ the whole early region can run in Pallas with no XLA conv in between:
     row shift and an h-neighbour a +-W*Bq shift, so a 3x3 conv is
     NINE shifted GEMMs against per-tap [pC, pCo] weight slices —
     MXU-shaped, no im2col materialization;
-  - the h-halo comes from neighbour grid blocks (the same input
-    passed with i-1 / i / i+1 index maps), the w-halo from Bq-row
-    zero margins plus output-row masks at the two w edges;
+  - the grid is 2D (h-row x w-chunk); each program's window is one
+    W-CHUNK of one h-row, and the eight neighbours it shifts into
+    arrive as explicit halo blocks: per tap-h-offset, a center block
+    plus two Bq-row column-halo blocks (separate BlockSpecs with
+    clamped index maps, zeroed in-kernel at the true image edges).
+    The first cut of these kernels used whole h-rows as blocks and
+    full-row f32 accumulators; the real TPU compiler rejected that
+    with scoped-VMEM stack OOMs (26-65 MB vs the 16 MB default —
+    windows AND temporaries are scoped allocations). Chunked blocks
+    keep every program under a few MB and pipeline better;
   - the producer's BN affine + activation is applied in the input
     read (prologue) and this conv's raw-output channel sums come out
     of the epilogue — exactly the fused_gemm contract, so the caller
     folds statistics identically;
   - stride-2 uses the darknet geometry this repo pins everywhere
     (top/left zero pad + VALID, models/layers.py): output (ho,wo)
-    reads input rows 2ho-1+dh — block-strided row gathers, margins
-    supplying the pad zeros.
+    reads input rows 2ho-1+dh — block-strided row picks, the
+    top/left pad supplied by the zeroed halo blocks.
 
 Backward is a fused custom VJP. Unlike packed_gemm (which recomputes
 its forward in-VMEM), these kernels save the forward OUTPUT y as a
@@ -42,6 +49,7 @@ of the 282 ms step at ~12%% effective efficiency).
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +60,13 @@ from .packed_gemm import _prologue
 # Interpret mode for CPU tests (set by tests or call sites).
 INTERPRET = False
 
+# Target rows per w-chunk block (the M of each tap GEMM). Bounded so
+# that windows + temporaries of the heaviest kernel (bwd: 27 input
+# blocks, double-buffered) stay within the default 16 MB scoped-VMEM
+# budget at 128 lanes. Must stay a multiple of Bq times a divisor of
+# W; _chunk_cols picks the largest fit.
+BLOCK_ROWS = int(os.environ.get("PACKED3_BLOCK_ROWS", "1024"))
+
 
 def set_interpret(on):
     global INTERPRET
@@ -61,112 +76,85 @@ def set_interpret(on):
 _TAPS = tuple((dh, dw) for dh in range(3) for dw in range(3))
 
 
+def _chunk_cols(wdim, bq, max_rows):
+    """Largest divisor wc of wdim with wc*bq <= max_rows (else 1)."""
+    best = 1
+    for d in range(1, wdim + 1):
+        if wdim % d == 0 and d * bq <= max_rows:
+            best = d
+    return best
+
+
 def _wrow(w_ref, tap, k):
     """Per-tap [K, N] slice of the flat [9K, N] weight block."""
     return w_ref[tap * k:(tap + 1) * k, :]
 
 
-def _col_index(r, bq):
-    """[R, 1] int32 of each row's w-column index (row // Bq)."""
-    return jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0) // bq
-
-
-def _maybe_prologue(x, a_ref, b_ref, act, has_affine):
+def _g_of(ref_val, a_ref, b_ref, act, has_affine, gate):
+    """Prologue-activated block, zeroed when ``gate`` (a traced bool
+    scalar or None) is False — the halo/edge handling."""
     if has_affine:
-        g, gp, xf = _prologue(x, a_ref, b_ref, act)
-        return g, gp, xf
-    return x, None, None
+        g = _prologue(ref_val, a_ref, b_ref, act)[0]
+    else:
+        g = ref_val
+    if gate is not None:
+        g = jnp.where(gate, g, jnp.zeros_like(g))
+    return g
+
+
+def _and(*gates):
+    out = None
+    for g in gates:
+        if g is None:
+            continue
+        out = g if out is None else jnp.logical_and(out, g)
+    return out
 
 
 # ------------------------------------------------------------ fwd s1
 
-def _fwd_s1_kernel(bq, wdim, act, has_affine, refs):
-    (xm_ref, xc_ref, xp_ref, w_ref, a_ref, b_ref,
-     y_ref, s1_ref, s2_ref) = refs
-    r, k = xc_ref.shape
+def _fwd_s1_kernel(bq, im2col, act, has_affine, refs):
+    (xl0, xc0, xr0, xl1, xc1, xr1, xl2, xc2, xr2,
+     w_ref, a_ref, b_ref, y_ref, s1_ref, s2_ref) = refs
+    xls = (xl0, xl1, xl2)
+    xcs = (xc0, xc1, xc2)
+    xrs = (xr0, xr1, xr2)
+    rs, k = xc1.shape
     n = y_ref.shape[1]
-    pid = pl.program_id(0)
-    last = pl.num_programs(0) - 1
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nh = pl.num_programs(0)
+    nw = pl.num_programs(1)
 
-    g_m = _maybe_prologue(xm_ref[...], a_ref, b_ref, act, has_affine)[0]
-    g_c = _maybe_prologue(xc_ref[...], a_ref, b_ref, act, has_affine)[0]
-    g_p = _maybe_prologue(xp_ref[...], a_ref, b_ref, act, has_affine)[0]
-    g_m = jnp.where(pid == 0, jnp.zeros_like(g_m), g_m)
-    g_p = jnp.where(pid == last, jnp.zeros_like(g_p), g_p)
-    zb = jnp.zeros((bq, k), g_c.dtype)
-    ext = jnp.concatenate([zb, g_m, g_c, g_p, zb], axis=0)
-
-    col = _col_index(r, bq)
-    m_w0 = (col > 0).astype(jnp.float32)           # output w == 0
-    m_wl = (col < wdim - 1).astype(jnp.float32)    # output w == W-1
-
-    acc = jnp.zeros((r, n), jnp.float32)
-    for tap, (dh, dw) in enumerate(_TAPS):
-        seg = jax.lax.slice(ext, (dh * r + dw * bq, 0),
-                            (dh * r + dw * bq + r, k))
-        part = jax.lax.dot(seg, _wrow(w_ref, tap, k),
-                           preferred_element_type=jnp.float32)
-        if dw == 0:
-            part = part * m_w0
-        elif dw == 2:
-            part = part * m_wl
-        acc = acc + part
+    acc = None
+    cols = []
+    for dh in range(3):
+        hgate = ((i > 0) if dh == 0
+                 else (i < nh - 1) if dh == 2 else None)
+        lh = _g_of(xls[dh][...], a_ref, b_ref, act, has_affine,
+                   _and(hgate, j > 0))
+        ce = _g_of(xcs[dh][...], a_ref, b_ref, act, has_affine, hgate)
+        rh = _g_of(xrs[dh][...], a_ref, b_ref, act, has_affine,
+                   _and(hgate, j < nw - 1))
+        ext = jnp.concatenate([lh, ce, rh], axis=0)
+        for dw in range(3):
+            seg = jax.lax.slice(ext, (dw * bq, 0), (dw * bq + rs, k))
+            if im2col:
+                cols.append(seg)
+            else:
+                part = jax.lax.dot(
+                    seg, _wrow(w_ref, dh * 3 + dw, k),
+                    preferred_element_type=jnp.float32)
+                acc = part if acc is None else acc + part
+    if im2col:
+        # one full-contraction dot — only profitable for small K (the
+        # stem's packed K=6, where a K-deep dot wastes the MXU).
+        acc = jax.lax.dot(jnp.concatenate(cols, axis=1), w_ref[...],
+                          preferred_element_type=jnp.float32)
     yb = acc.astype(y_ref.dtype)
     y_ref[...] = yb
 
-    @pl.when(pid == 0)
-    def _init():
-        s1_ref[...] = jnp.zeros_like(s1_ref)
-        s2_ref[...] = jnp.zeros_like(s2_ref)
-
-    yf = yb.astype(jnp.float32)
-    s1_ref[...] += jnp.sum(yf, axis=0, keepdims=True)
-    s2_ref[...] += jnp.sum(yf * yf, axis=0, keepdims=True)
-
-
-# ----------------------------------------------------- fwd s1 im2col
-
-def _im2col(ext, r, bq, k, m_w0, m_wl):
-    """[9 taps] x [R, K] masked segments concatenated along lanes —
-    the [R, 9K] im2col block. Only worth it for small K (the stem's
-    K=6): one full-contraction dot replaces nine K-deep ones."""
-    cols = []
-    for dh, dw in _TAPS:
-        seg = jax.lax.slice(ext, (dh * r + dw * bq, 0),
-                            (dh * r + dw * bq + r, k))
-        if dw == 0:
-            seg = seg * m_w0.astype(seg.dtype)
-        elif dw == 2:
-            seg = seg * m_wl.astype(seg.dtype)
-        cols.append(seg)
-    return jnp.concatenate(cols, axis=1)
-
-
-def _fwd_s1_im2col_kernel(bq, wdim, act, has_affine, refs):
-    (xm_ref, xc_ref, xp_ref, w_ref, a_ref, b_ref,
-     y_ref, s1_ref, s2_ref) = refs
-    r, k = xc_ref.shape
-    pid = pl.program_id(0)
-    last = pl.num_programs(0) - 1
-
-    g_m = _maybe_prologue(xm_ref[...], a_ref, b_ref, act, has_affine)[0]
-    g_c = _maybe_prologue(xc_ref[...], a_ref, b_ref, act, has_affine)[0]
-    g_p = _maybe_prologue(xp_ref[...], a_ref, b_ref, act, has_affine)[0]
-    g_m = jnp.where(pid == 0, jnp.zeros_like(g_m), g_m)
-    g_p = jnp.where(pid == last, jnp.zeros_like(g_p), g_p)
-    zb = jnp.zeros((bq, k), g_c.dtype)
-    ext = jnp.concatenate([zb, g_m, g_c, g_p, zb], axis=0)
-
-    col_idx = _col_index(r, bq)
-    m_w0 = (col_idx > 0).astype(jnp.float32)
-    m_wl = (col_idx < wdim - 1).astype(jnp.float32)
-    col = _im2col(ext, r, bq, k, m_w0, m_wl)
-    yb = jax.lax.dot(col, w_ref[...],
-                     preferred_element_type=jnp.float32
-                     ).astype(y_ref.dtype)
-    y_ref[...] = yb
-
-    @pl.when(pid == 0)
+    @pl.when(jnp.logical_and(i == 0, j == 0))
     def _init():
         s1_ref[...] = jnp.zeros_like(s1_ref)
         s2_ref[...] = jnp.zeros_like(s2_ref)
@@ -178,40 +166,42 @@ def _fwd_s1_im2col_kernel(bq, wdim, act, has_affine, refs):
 
 # ------------------------------------------------------------ fwd s2
 
-def _fwd_s2_kernel(bq, w2, act, has_affine, refs):
-    (xm_ref, xc_ref, w_ref, a_ref, b_ref,
-     y_ref, s1_ref, s2_ref) = refs
-    rin2, k = xc_ref.shape          # 2 input h-rows
-    rin = rin2 // 2
-    rout = w2 * bq
+def _fwd_s2_kernel(bq, act, has_affine, refs):
+    (xl0, xc0, xl1, xc1, xl2, xc2,
+     w_ref, a_ref, b_ref, y_ref, s1_ref, s2_ref) = refs
+    xls = (xl0, xl1, xl2)
+    xcs = (xc0, xc1, xc2)
+    rin, k = xc1.shape              # 2*wc2*bq center rows
+    rout = rin // 2
+    wc2 = rout // bq
     n = y_ref.shape[1]
-    pid = pl.program_id(0)
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nw = pl.num_programs(1)
 
-    g_m = _maybe_prologue(xm_ref[rin:, :], a_ref, b_ref, act,
-                          has_affine)[0]
-    g_c = _maybe_prologue(xc_ref[...], a_ref, b_ref, act,
-                          has_affine)[0]
-    g_m = jnp.where(pid == 0, jnp.zeros_like(g_m), g_m)
-    zb = jnp.zeros((bq, k), g_c.dtype)
-    ext = jnp.concatenate([zb, g_m, g_c, zb], axis=0)
-
-    col = _col_index(rout, bq)
-    m_w0 = (col > 0).astype(jnp.float32)           # output wo == 0
-
-    acc = jnp.zeros((rout, n), jnp.float32)
-    for tap, (dh, dw) in enumerate(_TAPS):
-        seg = jax.lax.slice(ext, (dh * rin + dw * bq, 0),
-                            (dh * rin + dw * bq + rin, k))
-        seg = seg.reshape(w2, 2 * bq, k)[:, :bq, :].reshape(rout, k)
-        part = jax.lax.dot(seg, _wrow(w_ref, tap, k),
-                           preferred_element_type=jnp.float32)
-        if dw == 0:
-            part = part * m_w0
-        acc = acc + part
+    acc = None
+    for dh in range(3):
+        # input h-row 2i-1+dh; only dh==0 can fall off the top
+        hgate = (i > 0) if dh == 0 else None
+        lh = _g_of(xls[dh][...], a_ref, b_ref, act, has_affine,
+                   _and(hgate, j > 0))
+        ce = _g_of(xcs[dh][...], a_ref, b_ref, act, has_affine, hgate)
+        # trailing zero pad so the dw=2 strided pick can slice a full
+        # 2*rout window (its last bq rows are never selected)
+        ext = jnp.concatenate(
+            [lh, ce, jnp.zeros((bq, k), ce.dtype)], axis=0)
+        for dw in range(3):
+            seg = jax.lax.slice(ext, (dw * bq, 0),
+                                (dw * bq + 2 * rout, k))
+            seg = seg.reshape(wc2, 2 * bq, k)[:, :bq, :].reshape(
+                rout, k)
+            part = jax.lax.dot(seg, _wrow(w_ref, dh * 3 + dw, k),
+                               preferred_element_type=jnp.float32)
+            acc = part if acc is None else acc + part
     yb = acc.astype(y_ref.dtype)
     y_ref[...] = yb
 
-    @pl.when(pid == 0)
+    @pl.when(jnp.logical_and(i == 0, j == 0))
     def _init():
         s1_ref[...] = jnp.zeros_like(s1_ref)
         s2_ref[...] = jnp.zeros_like(s2_ref)
@@ -223,53 +213,72 @@ def _fwd_s2_kernel(bq, w2, act, has_affine, refs):
 
 def _fwd_call(x2d, wflat, a, b, bq, hdim, wdim, stride, act,
               has_affine, im2col):
-    rin = wdim * bq
     k = x2d.shape[1]
     n = wflat.shape[1]
+    nbq = x2d.shape[0] // bq        # total bq-row groups (h*w)
+
+    def halo_spec(arr_k, idx_fn):
+        return pl.BlockSpec(
+            (bq, arr_k),
+            lambda i, j, f=idx_fn: (jnp.clip(f(i, j), 0, nbq - 1), 0))
+
     if stride == 1:
-        grid = (hdim,)
-        in_specs = [
-            pl.BlockSpec((rin, k), lambda i: (jnp.maximum(i - 1, 0), 0)),
-            pl.BlockSpec((rin, k), lambda i: (i, 0)),
-            pl.BlockSpec(
-                (rin, k),
-                lambda i: (jnp.minimum(i + 1, hdim - 1), 0)),
-            pl.BlockSpec(wflat.shape, lambda i: (0, 0)),
-            pl.BlockSpec((1, k), lambda i: (0, 0)),
-            pl.BlockSpec((1, k), lambda i: (0, 0)),
-        ]
-        rout, hout = rin, hdim
-        kernel = functools.partial(
-            _fwd_s1_im2col_kernel if im2col else _fwd_s1_kernel,
-            bq, wdim, act, has_affine)
+        wc = _chunk_cols(wdim, bq, BLOCK_ROWS)
+        nw = wdim // wc
+        rs = wc * bq
+        in_specs, ins = [], []
+        for dh in range(3):
+            def hh(i, d=dh):
+                return jnp.clip(i + d - 1, 0, hdim - 1)
+            in_specs += [
+                halo_spec(k, lambda i, j, d=dh: hh(i, d) * wdim
+                          + j * wc - 1),
+                pl.BlockSpec((rs, k),
+                             lambda i, j, d=dh: (hh(i, d) * nw + j, 0)),
+                halo_spec(k, lambda i, j, d=dh: hh(i, d) * wdim
+                          + (j + 1) * wc),
+            ]
+            ins += [x2d, x2d, x2d]
+        grid = (hdim, nw)
+        rout, hout = rs, hdim
+        kernel = functools.partial(_fwd_s1_kernel, bq, im2col, act,
+                                   has_affine)
     else:
         h2, w2 = hdim // 2, wdim // 2
-        grid = (h2,)
-        in_specs = [
-            pl.BlockSpec((2 * rin, k),
-                         lambda i: (jnp.maximum(i - 1, 0), 0)),
-            pl.BlockSpec((2 * rin, k), lambda i: (i, 0)),
-            pl.BlockSpec(wflat.shape, lambda i: (0, 0)),
-            pl.BlockSpec((1, k), lambda i: (0, 0)),
-            pl.BlockSpec((1, k), lambda i: (0, 0)),
-        ]
-        rout, hout = w2 * bq, h2
-        kernel = functools.partial(_fwd_s2_kernel, bq, w2, act,
-                                   has_affine)
+        wc2 = _chunk_cols(w2, bq, max(BLOCK_ROWS // 2, bq))
+        nw = w2 // wc2
+        rs = 2 * wc2 * bq           # input center rows
+        in_specs, ins = [], []
+        for dh in range(3):
+            def hh(i, d=dh):
+                return jnp.clip(2 * i + d - 1, 0, hdim - 1)
+            in_specs += [
+                halo_spec(k, lambda i, j, d=dh: hh(i, d) * wdim
+                          + 2 * j * wc2 - 1),
+                pl.BlockSpec((rs, k),
+                             lambda i, j, d=dh: (hh(i, d) * nw + j, 0)),
+            ]
+            ins += [x2d, x2d]
+        grid = (h2, nw)
+        rout, hout = wc2 * bq, h2
+        kernel = functools.partial(_fwd_s2_kernel, bq, act, has_affine)
+
+    in_specs += [
+        pl.BlockSpec(wflat.shape, lambda i, j: (0, 0)),
+        pl.BlockSpec((1, k), lambda i, j: (0, 0)),
+        pl.BlockSpec((1, k), lambda i, j: (0, 0)),
+    ]
+    ins += [wflat, a, b]
     out_specs = [
-        pl.BlockSpec((rout, n), lambda i: (i, 0)),
-        pl.BlockSpec((1, n), lambda i: (0, 0)),
-        pl.BlockSpec((1, n), lambda i: (0, 0)),
+        pl.BlockSpec((rout, n), lambda i, j: (i * grid[1] + j, 0)),
+        pl.BlockSpec((1, n), lambda i, j: (0, 0)),
+        pl.BlockSpec((1, n), lambda i, j: (0, 0)),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((hout * rout, n), x2d.dtype),
+        jax.ShapeDtypeStruct((hout * grid[1] * rout, n), x2d.dtype),
         jax.ShapeDtypeStruct((1, n), jnp.float32),
         jax.ShapeDtypeStruct((1, n), jnp.float32),
     ]
-    if stride == 1:
-        ins = (x2d, x2d, x2d, wflat, a, b)
-    else:
-        ins = (x2d, x2d, wflat, a, b)
     return pl.pallas_call(
         lambda *refs: kernel(refs), grid=grid, in_specs=in_specs,
         out_specs=out_specs, out_shape=out_shape, interpret=INTERPRET,
@@ -278,17 +287,24 @@ def _fwd_call(x2d, wflat, a, b, bq, hdim, wdim, stride, act,
 
 # ------------------------------------------------------------ bwd s1
 
-def _bwd_s1_kernel(bq, wdim, act, has_affine, refs):
-    (xm_ref, xc_ref, xp_ref, dym_ref, dyc_ref, dyp_ref,
-     ym_ref, yc_ref, yp_ref, w_ref, a_ref, b_ref, ds1_ref, ds2_ref,
+def _bwd_s1_kernel(bq, im2col, act, has_affine, refs):
+    (xl0, xc0, xr0, xl1, xc1, xr1, xl2, xc2, xr2,
+     dl0, dc0, dr0, dl1, dc1, dr1, dl2, dc2, dr2,
+     yl0, yc0, yr0, yl1, yc1, yr1, yl2, yc2, yr2,
+     w_ref, a_ref, b_ref, ds1_ref, ds2_ref,
      dx_ref, dwf_ref, da_ref, db_ref) = refs
-    r, k = xc_ref.shape
-    n = dyc_ref.shape[1]
-    dt = xc_ref.dtype
-    pid = pl.program_id(0)
-    last = pl.num_programs(0) - 1
+    xls, xcs, xrs = (xl0, xl1, xl2), (xc0, xc1, xc2), (xr0, xr1, xr2)
+    dls, dcs, drs = (dl0, dl1, dl2), (dc0, dc1, dc2), (dr0, dr1, dr2)
+    yls, ycs, yrs = (yl0, yl1, yl2), (yc0, yc1, yc2), (yr0, yr1, yr2)
+    rs, k = xc1.shape
+    n = dc1.shape[1]
+    dt = xc1.dtype
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nh = pl.num_programs(0)
+    nw = pl.num_programs(1)
 
-    @pl.when(pid == 0)
+    @pl.when(jnp.logical_and(i == 0, j == 0))
     def _init():
         dwf_ref[...] = jnp.zeros_like(dwf_ref)
         da_ref[...] = jnp.zeros_like(da_ref)
@@ -296,62 +312,96 @@ def _bwd_s1_kernel(bq, wdim, act, has_affine, refs):
 
     ds1 = ds1_ref[...]
     ds2 = ds2_ref[...]
-    first_z = lambda v: jnp.where(pid == 0, jnp.zeros_like(v), v)
-    last_z = lambda v: jnp.where(pid == last, jnp.zeros_like(v), v)
+    two_ds2 = 2.0 * ds2
 
-    # dy / (2*y*ds2) halo strips, zeroed outside the image.
-    dy_m = first_z(dym_ref[...])
-    dy_c = dyc_ref[...]
-    dy_p = last_z(dyp_ref[...])
-    two_ds2 = (2.0 * ds2)
-    yd_m = first_z((ym_ref[...].astype(jnp.float32)
-                    * two_ds2).astype(dt))
-    yd_c = (yc_ref[...].astype(jnp.float32) * two_ds2).astype(dt)
-    yd_p = last_z((yp_ref[...].astype(jnp.float32)
-                   * two_ds2).astype(dt))
-    zn = jnp.zeros((bq, n), dt)
-    dy_ext = jnp.concatenate([zn, dy_m, dy_c, dy_p, zn], axis=0)
-    yd_ext = jnp.concatenate([zn, yd_m, yd_c, yd_p, zn], axis=0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (rs, 1), 0)
+    m_first = (row >= bq).astype(jnp.float32)   # 0 on first bq rows
+    m_last = (row < rs - bq).astype(jnp.float32)
+    ones_r = jnp.ones((rs, 1), jnp.float32)
 
-    col = _col_index(r, bq)
-    m_w0 = (col > 0).astype(jnp.float32)
-    m_wl = (col < wdim - 1).astype(jnp.float32)
+    def zed(v, gate):
+        if gate is None:
+            return v
+        return jnp.where(gate, v, jnp.zeros_like(v))
 
-    # dg: transposed 9-tap fan-in over dyt, term-split (the rank-1
-    # ds1 contribution is a broadcast add, not a GEMM)
-    dg = jnp.zeros((r, k), jnp.float32)
-    for tap, (dh, dw) in enumerate(_TAPS):
-        start = (2 - dh) * r + (2 - dw) * bq
-        wt = _wrow(w_ref, tap, k)
-        dots = (jax.lax.dot_general(
-                    jax.lax.slice(dy_ext, (start, 0), (start + r, n)),
-                    wt, (((1,), (1,)), ((), ())),
+    # dg: transposed 9-tap fan-in over dyt = dy + ds1 + 2*y*ds2,
+    # term-split (the rank-1 ds1 contribution is a broadcast add)
+    dg = jnp.zeros((rs, k), jnp.float32)
+    for e in (-1, 0, 1):            # dy/y h-row = i + e
+        dh = 1 - e                  # the tap-h these rows back-prop
+        ei = e + 1                  # ref triple index (maps use e)
+        hgate = ((i > 0) if e == -1
+                 else (i < nh - 1) if e == 1 else None)
+        lg, rg = _and(hgate, j > 0), _and(hgate, j < nw - 1)
+        dy_ext = jnp.concatenate([
+            zed(dls[ei][...], lg), zed(dcs[ei][...], hgate),
+            zed(drs[ei][...], rg)], axis=0)
+        yd_ext = jnp.concatenate([
+            zed((yls[ei][...].astype(jnp.float32)
+                 * two_ds2).astype(dt), lg),
+            zed((ycs[ei][...].astype(jnp.float32)
+                 * two_ds2).astype(dt), hgate),
+            zed((yrs[ei][...].astype(jnp.float32)
+                 * two_ds2).astype(dt), rg)], axis=0)
+        hconst = (jnp.where(hgate, 1.0, 0.0)
+                  if hgate is not None else None)
+        if im2col:
+            # one wide transposed dot per h-offset: contract n against
+            # this dh's [3K] tap block, then three shifted column picks
+            wt3 = w_ref[dh * 3 * k:(dh + 1) * 3 * k, :]
+            dcol = (jax.lax.dot_general(
+                        dy_ext, wt3, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(
+                        yd_ext, wt3, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+            cvec = jax.lax.dot_general(
+                ds1, wt3, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if hconst is not None:
+                cvec = cvec * hconst
+            for dw in range(3):
+                part = jax.lax.slice(
+                    dcol, ((2 - dw) * bq, dw * k),
+                    ((2 - dw) * bq + rs, (dw + 1) * k))
+                const = jax.lax.slice(cvec, (0, dw * k),
+                                      (1, (dw + 1) * k))
+                cmask = ones_r
+                if dw == 2:
+                    cmask = jnp.where(j == 0, m_first, ones_r)
+                elif dw == 0:
+                    cmask = jnp.where(j == nw - 1, m_last, ones_r)
+                dg = dg + part + cmask * const
+        else:
+            for dw in range(3):
+                wt = _wrow(w_ref, dh * 3 + dw, k)
+                off = (2 - dw) * bq
+                dots = (jax.lax.dot_general(
+                            jax.lax.slice(dy_ext, (off, 0),
+                                          (off + rs, n)),
+                            wt, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        + jax.lax.dot_general(
+                            jax.lax.slice(yd_ext, (off, 0),
+                                          (off + rs, n)),
+                            wt, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32))
+                const = jax.lax.dot_general(
+                    ds1, wt, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(
-                    jax.lax.slice(yd_ext, (start, 0), (start + r, n)),
-                    wt, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32))
-        const = jax.lax.dot_general(
-            ds1, wt, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        # out-of-image h rows contribute nothing: the dy/yd strips are
-        # already zeroed, but the constant term needs the explicit
-        # scalar gate
-        if dh == 2:
-            const = const * jnp.where(pid == 0, 0.0, 1.0)
-        elif dh == 0:
-            const = const * jnp.where(pid == last, 0.0, 1.0)
-        part = dots + const
-        # w-edge: the shifted read crosses into the adjacent h-row's
-        # real data — mask the whole tap at the invalid output column
-        if dw == 2:
-            part = part * m_w0
-        elif dw == 0:
-            part = part * m_wl
-        dg = dg + part
+                if hconst is not None:
+                    const = const * hconst
+                # const applies only where the tap's y read is
+                # in-image; the dy/yd strips are already zeroed there
+                cmask = ones_r
+                if dw == 2:
+                    cmask = jnp.where(j == 0, m_first, ones_r)
+                elif dw == 0:
+                    cmask = jnp.where(j == nw - 1, m_last, ones_r)
+                dg = dg + dots + cmask * const
 
     if has_affine:
-        _, gp_c, xf_c = _prologue(xc_ref[...], a_ref, b_ref, act)
+        _, gp_c, xf_c = _prologue(xc1[...], a_ref, b_ref, act)
         dz = dg * gp_c
         dx_ref[...] = (dz * a_ref[0, :]).astype(dt)
         da_ref[...] += jnp.sum(dz * xf_c, axis=0, keepdims=True)
@@ -360,142 +410,55 @@ def _bwd_s1_kernel(bq, wdim, act, has_affine, refs):
         dx_ref[...] = dg.astype(dt)
 
     # dW: per-tap shifted-g^T @ dyt over this program's output rows
-    g_m = _maybe_prologue(xm_ref[...], a_ref, b_ref, act,
-                          has_affine)[0]
-    g_c = _maybe_prologue(xc_ref[...], a_ref, b_ref, act,
-                          has_affine)[0]
-    g_p = _maybe_prologue(xp_ref[...], a_ref, b_ref, act,
-                          has_affine)[0]
-    g_m = first_z(g_m)
-    g_p = last_z(g_p)
-    zk = jnp.zeros((bq, k), g_c.dtype)
-    g_ext = jnp.concatenate([zk, g_m, g_c, g_p, zk], axis=0)
-
-    dyt = (dy_c.astype(jnp.float32) + ds1
-           + yc_ref[...].astype(jnp.float32) * two_ds2).astype(dt)
-    dyt_m = {1: dyt,
-             0: dyt * m_w0.astype(dt),
-             2: dyt * m_wl.astype(dt)}
-    for tap, (dh, dw) in enumerate(_TAPS):
-        seg = jax.lax.slice(g_ext, (dh * r + dw * bq, 0),
-                            (dh * r + dw * bq + r, k))
-        dwf_ref[tap * k:(tap + 1) * k, :] += jax.lax.dot_general(
-            seg, dyt_m[dw], (((0,), (0,)), ((), ())),
+    dyt = (dc1[...].astype(jnp.float32) + ds1
+           + yc1[...].astype(jnp.float32) * two_ds2).astype(dt)
+    cols = []
+    for dh in range(3):
+        hgate = ((i > 0) if dh == 0
+                 else (i < nh - 1) if dh == 2 else None)
+        lh = _g_of(xls[dh][...], a_ref, b_ref, act, has_affine,
+                   _and(hgate, j > 0))
+        ce = _g_of(xcs[dh][...], a_ref, b_ref, act, has_affine, hgate)
+        rh = _g_of(xrs[dh][...], a_ref, b_ref, act, has_affine,
+                   _and(hgate, j < nw - 1))
+        g_ext = jnp.concatenate([lh, ce, rh], axis=0)
+        for dw in range(3):
+            seg = jax.lax.slice(g_ext, (dw * bq, 0),
+                                (dw * bq + rs, k))
+            if im2col:
+                cols.append(seg)
+            else:
+                tap = dh * 3 + dw
+                dwf_ref[tap * k:(tap + 1) * k, :] += (
+                    jax.lax.dot_general(
+                        seg, dyt, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+    if im2col:
+        dwf_ref[...] += jax.lax.dot_general(
+            jnp.concatenate(cols, axis=1), dyt,
+            (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-
-
-# ----------------------------------------------------- bwd s1 im2col
-
-def _bwd_s1_im2col_kernel(bq, wdim, act, has_affine, refs):
-    (xm_ref, xc_ref, xp_ref, dym_ref, dyc_ref, dyp_ref,
-     ym_ref, yc_ref, yp_ref, w_ref, a_ref, b_ref, ds1_ref, ds2_ref,
-     dx_ref, dwf_ref, da_ref, db_ref) = refs
-    r, k = xc_ref.shape
-    n = dyc_ref.shape[1]
-    dt = xc_ref.dtype
-    pid = pl.program_id(0)
-    last = pl.num_programs(0) - 1
-
-    @pl.when(pid == 0)
-    def _init():
-        dwf_ref[...] = jnp.zeros_like(dwf_ref)
-        da_ref[...] = jnp.zeros_like(da_ref)
-        db_ref[...] = jnp.zeros_like(db_ref)
-
-    ds1 = ds1_ref[...]
-    ds2 = ds2_ref[...]
-    two_ds2 = 2.0 * ds2
-    first_z = lambda v: jnp.where(pid == 0, jnp.zeros_like(v), v)
-    last_z = lambda v: jnp.where(pid == last, jnp.zeros_like(v), v)
-
-    col_idx = _col_index(r, bq)
-    m_w0 = (col_idx > 0).astype(jnp.float32)
-    m_wl = (col_idx < wdim - 1).astype(jnp.float32)
-
-    # dg via one wide transposed dot over the dyt halo: dcol_ext =
-    # dyt_ext @ w^T (term-split; the rank-1 ds1 term applies only to
-    # in-image ext rows), then nine shifted masked adds
-    dy_m = first_z(dym_ref[...])
-    dy_c = dyc_ref[...]
-    dy_p = last_z(dyp_ref[...])
-    yd_m = first_z((ym_ref[...].astype(jnp.float32)
-                    * two_ds2).astype(dt))
-    yd_c = (yc_ref[...].astype(jnp.float32) * two_ds2).astype(dt)
-    yd_p = last_z((yp_ref[...].astype(jnp.float32)
-                   * two_ds2).astype(dt))
-    zn = jnp.zeros((bq, n), dt)
-    dy_ext = jnp.concatenate([zn, dy_m, dy_c, dy_p, zn], axis=0)
-    yd_ext = jnp.concatenate([zn, yd_m, yd_c, yd_p, zn], axis=0)
-    gate = lambda cond: jnp.where(cond, 0.0, 1.0)
-    ones_r = jnp.ones((r, 1), jnp.float32)
-    vext = jnp.concatenate([
-        jnp.zeros((bq, 1), jnp.float32),
-        ones_r * gate(pid == 0), ones_r, ones_r * gate(pid == last),
-        jnp.zeros((bq, 1), jnp.float32)], axis=0)
-    dcol_ext = (jax.lax.dot_general(
-                    dy_ext, w_ref[...], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(
-                    yd_ext, w_ref[...], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                + vext * jax.lax.dot_general(
-                    ds1, w_ref[...], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32))
-    dg = jnp.zeros((r, k), jnp.float32)
-    for tap, (dh, dw) in enumerate(_TAPS):
-        start = (2 - dh) * r + (2 - dw) * bq
-        part = jax.lax.slice(dcol_ext, (start, tap * k),
-                             (start + r, (tap + 1) * k))
-        if dw == 2:
-            part = part * m_w0
-        elif dw == 0:
-            part = part * m_wl
-        dg = dg + part
-
-    if has_affine:
-        _, gp_c, xf_c = _prologue(xc_ref[...], a_ref, b_ref, act)
-        dz = dg * gp_c
-        dx_ref[...] = (dz * a_ref[0, :]).astype(dt)
-        da_ref[...] += jnp.sum(dz * xf_c, axis=0, keepdims=True)
-        db_ref[...] += jnp.sum(dz, axis=0, keepdims=True)
-    else:
-        dx_ref[...] = dg.astype(dt)
-
-    # dW: one im2col rebuild + one full-contraction dot
-    g_m = _maybe_prologue(xm_ref[...], a_ref, b_ref, act,
-                          has_affine)[0]
-    g_c = _maybe_prologue(xc_ref[...], a_ref, b_ref, act,
-                          has_affine)[0]
-    g_p = _maybe_prologue(xp_ref[...], a_ref, b_ref, act,
-                          has_affine)[0]
-    g_m = first_z(g_m)
-    g_p = last_z(g_p)
-    zk = jnp.zeros((bq, k), g_c.dtype)
-    g_ext = jnp.concatenate([zk, g_m, g_c, g_p, zk], axis=0)
-    col = _im2col(g_ext, r, bq, k, m_w0, m_wl)
-    dyt = (dy_c.astype(jnp.float32) + ds1
-           + yc_ref[...].astype(jnp.float32) * two_ds2).astype(dt)
-    dwf_ref[...] += jax.lax.dot_general(
-        col, dyt, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
 
 
 # ------------------------------------------------------------ bwd s2
 
-def _bwd_s2_kernel(bq, wdim, act, has_affine, refs):
-    (xm_ref, xc_ref, dyc_ref, dyn_ref, yc_ref, yn_ref,
+def _bwd_s2_kernel(bq, act, has_affine, refs):
+    (xl0, xc0, xl1, xc1, xl2, xc2,
+     dcc, dcr, dnc, dnr, ycc, ycr, ync, ynr,
      w_ref, a_ref, b_ref, ds1_ref, ds2_ref,
-     dx_ref, dwf_ref, da_ref, db_ref) = refs
-    rin2, k = xc_ref.shape
-    rin = rin2 // 2
-    w2 = wdim // 2
-    rout = w2 * bq
-    n = dyc_ref.shape[1]
-    dt = xc_ref.dtype
-    pid = pl.program_id(0)
-    last = pl.num_programs(0) - 1
+     dx0_ref, dx1_ref, dwf_ref, da_ref, db_ref) = refs
+    xls, xcs = (xl0, xl1, xl2), (xc0, xc1, xc2)
+    rin, k = xc1.shape              # 2*wc2*bq input center rows
+    rout = rin // 2
+    wc2 = rout // bq
+    n = dcc.shape[1]
+    dt = xc1.dtype
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nh = pl.num_programs(0)
+    nw = pl.num_programs(1)
 
-    @pl.when(pid == 0)
+    @pl.when(jnp.logical_and(i == 0, j == 0))
     def _init():
         dwf_ref[...] = jnp.zeros_like(dwf_ref)
         da_ref[...] = jnp.zeros_like(da_ref)
@@ -504,46 +467,56 @@ def _bwd_s2_kernel(bq, wdim, act, has_affine, refs):
     ds1 = ds1_ref[...]
     ds2 = ds2_ref[...]
     two_ds2 = 2.0 * ds2
-    last_z = lambda v: jnp.where(pid == last, jnp.zeros_like(v), v)
+    ngate = (i < nh - 1)
+    rgate = (j < nw - 1)
 
-    dy_c = dyc_ref[...]
-    dy_n = last_z(dyn_ref[...])
-    yd_c = (yc_ref[...].astype(jnp.float32) * two_ds2).astype(dt)
-    yd_n = last_z((yn_ref[...].astype(jnp.float32)
-                   * two_ds2).astype(dt))
-    zn = jnp.zeros((bq, n), dt)
+    def zed(v, gate):
+        if gate is None:
+            return v
+        return jnp.where(gate, v, jnp.zeros_like(v))
+
+    def yd(ref, gate):
+        return zed((ref[...].astype(jnp.float32)
+                    * two_ds2).astype(dt), gate)
+
     exts = {
-        "c": (jnp.concatenate([zn, dy_c, zn], axis=0),
-              jnp.concatenate([zn, yd_c, zn], axis=0), False),
-        "n": (jnp.concatenate([zn, dy_n, zn], axis=0),
-              jnp.concatenate([zn, yd_n, zn], axis=0), True),
+        "c": (jnp.concatenate([dcc[...], zed(dcr[...], rgate)],
+                              axis=0),
+              jnp.concatenate([yd(ycc, None), yd(ycr, rgate)],
+                              axis=0), None),
+        "n": (jnp.concatenate([zed(dnc[...], ngate),
+                               zed(dnr[...], _and(ngate, rgate))],
+                              axis=0),
+              jnp.concatenate([yd(ync, ngate),
+                               yd(ynr, _and(ngate, rgate))],
+                              axis=0), ngate),
     }
 
-    col_out = _col_index(rout, bq)
-    m_last_wo = (col_out < w2 - 1).astype(jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (rout, 1), 0)
+    m_last = (row < rout - bq).astype(jnp.float32)
+    ones_r = jnp.ones((rout, 1), jnp.float32)
 
     def term(src, shift, tap):
-        dy_ext, yd_ext, is_next = exts[src]
-        start = bq + shift * bq
+        dy_ext, yd_ext, hconst = exts[src]
+        off = shift * bq
         wt = _wrow(w_ref, tap, k)
         out = (jax.lax.dot_general(
-                   jax.lax.slice(dy_ext, (start, 0),
-                                 (start + rout, n)),
+                   jax.lax.slice(dy_ext, (off, 0), (off + rout, n)),
                    wt, (((1,), (1,)), ((), ())),
                    preferred_element_type=jnp.float32)
                + jax.lax.dot_general(
-                   jax.lax.slice(yd_ext, (start, 0),
-                                 (start + rout, n)),
+                   jax.lax.slice(yd_ext, (off, 0), (off + rout, n)),
                    wt, (((1,), (1,)), ((), ())),
                    preferred_element_type=jnp.float32))
         const = jax.lax.dot_general(
             ds1, wt, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        if is_next:
-            const = const * jnp.where(pid == last, 0.0, 1.0)
+        if hconst is not None:
+            const = const * jnp.where(hconst, 1.0, 0.0)
+        cmask = ones_r
         if shift == 1:
-            const = const * m_last_wo
-        return out + const
+            cmask = jnp.where(j == nw - 1, m_last, ones_r)
+        return out + cmask * const
 
     # taps are (dh, dw) indices into the 3x3 grid, row-major
     q00 = term("c", 0, 4)                       # w[1,1]
@@ -553,110 +526,164 @@ def _bwd_s2_kernel(bq, wdim, act, has_affine, refs):
            + term("c", 1, 6) + term("c", 0, 8))  # w[2,0], w[2,2]
 
     def interleave(qa, qb):
-        s = jnp.stack([qa.reshape(w2, bq, k), qb.reshape(w2, bq, k)],
-                      axis=1)
+        s = jnp.stack([qa.reshape(wc2, bq, k),
+                       qb.reshape(wc2, bq, k)], axis=1)
         return s.reshape(rin, k)
 
-    dg = jnp.concatenate([interleave(q00, q01),
-                          interleave(q10, q11)], axis=0)
+    def emit(dx_ref, dg, xc_ref):
+        if has_affine:
+            _, gp, xf = _prologue(xc_ref[...], a_ref, b_ref, act)
+            dz = dg * gp
+            dx_ref[...] = (dz * a_ref[0, :]).astype(dt)
+            da_ref[...] += jnp.sum(dz * xf, axis=0, keepdims=True)
+            db_ref[...] += jnp.sum(dz, axis=0, keepdims=True)
+        else:
+            dx_ref[...] = dg.astype(dt)
 
-    if has_affine:
-        _, gp_c, xf_c = _prologue(xc_ref[...], a_ref, b_ref, act)
-        dz = dg * gp_c
-        dx_ref[...] = (dz * a_ref[0, :]).astype(dt)
-        da_ref[...] += jnp.sum(dz * xf_c, axis=0, keepdims=True)
-        db_ref[...] += jnp.sum(dz, axis=0, keepdims=True)
-    else:
-        dx_ref[...] = dg.astype(dt)
+    emit(dx0_ref, interleave(q00, q01), xc1)    # input h-row 2i
+    emit(dx1_ref, interleave(q10, q11), xc2)    # input h-row 2i+1
 
-    # dW over this program's single output h-row
-    g_m = _maybe_prologue(xm_ref[rin:, :], a_ref, b_ref, act,
-                          has_affine)[0]
-    g_c = _maybe_prologue(xc_ref[...], a_ref, b_ref, act,
-                          has_affine)[0]
-    g_m = jnp.where(pid == 0, jnp.zeros_like(g_m), g_m)
-    zk = jnp.zeros((bq, k), g_c.dtype)
-    g_ext = jnp.concatenate([zk, g_m, g_c, zk], axis=0)
-
-    dyt = (dy_c.astype(jnp.float32) + ds1
-           + yc_ref[...].astype(jnp.float32) * two_ds2).astype(dt)
-    m_w0 = (col_out > 0).astype(dt)
-    for tap, (dh, dw) in enumerate(_TAPS):
-        seg = jax.lax.slice(g_ext, (dh * rin + dw * bq, 0),
-                            (dh * rin + dw * bq + rin, k))
-        seg = seg.reshape(w2, 2 * bq, k)[:, :bq, :].reshape(rout, k)
-        dy_tap = dyt * m_w0 if dw == 0 else dyt
-        dwf_ref[tap * k:(tap + 1) * k, :] += jax.lax.dot_general(
-            seg, dy_tap, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+    # dW over this program's output chunk
+    dyt = (dcc[...].astype(jnp.float32) + ds1
+           + ycc[...].astype(jnp.float32) * two_ds2).astype(dt)
+    for dh in range(3):
+        hgate = (i > 0) if dh == 0 else None
+        lh = _g_of(xls[dh][...], a_ref, b_ref, act, has_affine,
+                   _and(hgate, j > 0))
+        ce = _g_of(xcs[dh][...], a_ref, b_ref, act, has_affine, hgate)
+        g_ext = jnp.concatenate(
+            [lh, ce, jnp.zeros((bq, k), ce.dtype)], axis=0)
+        for dw in range(3):
+            seg = jax.lax.slice(g_ext, (dw * bq, 0),
+                                (dw * bq + 2 * rout, k))
+            seg = seg.reshape(wc2, 2 * bq, k)[:, :bq, :].reshape(
+                rout, k)
+            tap = dh * 3 + dw
+            dwf_ref[tap * k:(tap + 1) * k, :] += jax.lax.dot_general(
+                seg, dyt, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
 
 def _bwd_call(x2d, wflat, a, b, y2d, dy, ds1, ds2,
               bq, hdim, wdim, stride, act, has_affine, im2col):
-    rin = wdim * bq
     k = x2d.shape[1]
     n = wflat.shape[1]
+    nbq_in = x2d.shape[0] // bq
+    nbq_out = y2d.shape[0] // bq
+
+    def halo(arr_k, nbq, idx_fn):
+        return pl.BlockSpec(
+            (bq, arr_k),
+            lambda i, j, f=idx_fn: (jnp.clip(f(i, j), 0, nbq - 1), 0))
+
     if stride == 1:
-        grid = (hdim,)
-        xmaps = [lambda i: (jnp.maximum(i - 1, 0), 0),
-                 lambda i: (i, 0),
-                 lambda i: (jnp.minimum(i + 1, hdim - 1), 0)]
-        in_specs = (
-            [pl.BlockSpec((rin, k), m) for m in xmaps]
-            + [pl.BlockSpec((rin, n), m) for m in xmaps]
-            + [pl.BlockSpec((rin, n), m) for m in xmaps]
-            + [pl.BlockSpec(wflat.shape, lambda i: (0, 0)),
-               pl.BlockSpec((1, k), lambda i: (0, 0)),
-               pl.BlockSpec((1, k), lambda i: (0, 0)),
-               pl.BlockSpec((1, n), lambda i: (0, 0)),
-               pl.BlockSpec((1, n), lambda i: (0, 0))]
-        )
-        ins = (x2d, x2d, x2d, dy, dy, dy, y2d, y2d, y2d,
-               wflat, a, b, ds1, ds2)
-        dx_rows = rin
-        kernel = functools.partial(
-            _bwd_s1_im2col_kernel if im2col else _bwd_s1_kernel,
-            bq, wdim, act, has_affine)
+        wc = _chunk_cols(wdim, bq, BLOCK_ROWS)
+        nw = wdim // wc
+        rs = wc * bq
+        in_specs, ins = [], []
+        for arr, arr_k in ((x2d, k), (dy, n), (y2d, n)):
+            for dh in range(3):
+                def hh(i, d=dh):
+                    return jnp.clip(i + d - 1, 0, hdim - 1)
+                in_specs += [
+                    halo(arr_k, nbq_in,
+                         lambda i, j, d=dh: hh(i, d) * wdim
+                         + j * wc - 1),
+                    pl.BlockSpec(
+                        (rs, arr_k),
+                        lambda i, j, d=dh: (hh(i, d) * nw + j, 0)),
+                    halo(arr_k, nbq_in,
+                         lambda i, j, d=dh: hh(i, d) * wdim
+                         + (j + 1) * wc),
+                ]
+                ins += [arr, arr, arr]
+        grid = (hdim, nw)
+        dx_spec = pl.BlockSpec((rs, k),
+                               lambda i, j: (i * nw + j, 0))
+        dx_shapes = [jax.ShapeDtypeStruct(x2d.shape, x2d.dtype)]
+        kernel = functools.partial(_bwd_s1_kernel, bq, im2col, act,
+                                   has_affine)
     else:
         h2, w2 = hdim // 2, wdim // 2
-        rout = w2 * bq
-        grid = (h2,)
-        in_specs = [
-            pl.BlockSpec((2 * rin, k),
-                         lambda i: (jnp.maximum(i - 1, 0), 0)),
-            pl.BlockSpec((2 * rin, k), lambda i: (i, 0)),
-            pl.BlockSpec((rout, n), lambda i: (i, 0)),
-            pl.BlockSpec((rout, n),
-                         lambda i: (jnp.minimum(i + 1, h2 - 1), 0)),
-            pl.BlockSpec((rout, n), lambda i: (i, 0)),
-            pl.BlockSpec((rout, n),
-                         lambda i: (jnp.minimum(i + 1, h2 - 1), 0)),
-            pl.BlockSpec(wflat.shape, lambda i: (0, 0)),
-            pl.BlockSpec((1, k), lambda i: (0, 0)),
-            pl.BlockSpec((1, k), lambda i: (0, 0)),
-            pl.BlockSpec((1, n), lambda i: (0, 0)),
-            pl.BlockSpec((1, n), lambda i: (0, 0)),
+        wc2 = _chunk_cols(w2, bq, max(BLOCK_ROWS // 2, bq))
+        nw = w2 // wc2
+        rin = 2 * wc2 * bq
+        rout = wc2 * bq
+        in_specs, ins = [], []
+        for dh in range(3):
+            def hh(i, d=dh):
+                return jnp.clip(2 * i + d - 1, 0, hdim - 1)
+            in_specs += [
+                halo(k, nbq_in,
+                     lambda i, j, d=dh: hh(i, d) * wdim
+                     + 2 * j * wc2 - 1),
+                pl.BlockSpec((rin, k),
+                             lambda i, j, d=dh: (hh(i, d) * nw + j, 0)),
+            ]
+            ins += [x2d, x2d]
+        for arr in (dy, y2d):
+            for e in (0, 1):        # output h-rows i and i+1
+                def ho(i, eo=e):
+                    return jnp.clip(i + eo, 0, h2 - 1)
+                in_specs += [
+                    pl.BlockSpec(
+                        (rout, n),
+                        lambda i, j, eo=e: (ho(i, eo) * nw + j, 0)),
+                    halo(n, nbq_out,
+                         lambda i, j, eo=e: ho(i, eo) * w2
+                         + (j + 1) * wc2),
+                ]
+                ins += [arr, arr]
+        grid = (h2, nw)
+        # dx comes out as two half-sized arrays (even / odd input
+        # h-rows), interleaved below — each grid step owns one w-chunk
+        # of both rows of its input h-row pair
+        dx_spec = [
+            pl.BlockSpec((rin, k), lambda i, j: (i * nw + j, 0)),
+            pl.BlockSpec((rin, k), lambda i, j: (i * nw + j, 0)),
         ]
-        ins = (x2d, x2d, dy, dy, y2d, y2d, wflat, a, b, ds1, ds2)
-        dx_rows = 2 * rin
-        kernel = functools.partial(_bwd_s2_kernel, bq, wdim, act,
+        half = jax.ShapeDtypeStruct((x2d.shape[0] // 2, k), x2d.dtype)
+        dx_shapes = [half, half]
+        kernel = functools.partial(_bwd_s2_kernel, bq, act,
                                    has_affine)
-    out_specs = [
-        pl.BlockSpec((dx_rows, k), lambda i: (i, 0)),
-        pl.BlockSpec(wflat.shape, lambda i: (0, 0)),
-        pl.BlockSpec((1, k), lambda i: (0, 0)),
-        pl.BlockSpec((1, k), lambda i: (0, 0)),
+
+    in_specs += [
+        pl.BlockSpec(wflat.shape, lambda i, j: (0, 0)),
+        pl.BlockSpec((1, k), lambda i, j: (0, 0)),
+        pl.BlockSpec((1, k), lambda i, j: (0, 0)),
+        pl.BlockSpec((1, n), lambda i, j: (0, 0)),
+        pl.BlockSpec((1, n), lambda i, j: (0, 0)),
     ]
-    out_shape = [
-        jax.ShapeDtypeStruct(x2d.shape, x2d.dtype),
+    ins += [wflat, a, b, ds1, ds2]
+    tail_specs = [
+        pl.BlockSpec(wflat.shape, lambda i, j: (0, 0)),
+        pl.BlockSpec((1, k), lambda i, j: (0, 0)),
+        pl.BlockSpec((1, k), lambda i, j: (0, 0)),
+    ]
+    tail_shapes = [
         jax.ShapeDtypeStruct(wflat.shape, jnp.float32),
         jax.ShapeDtypeStruct((1, k), jnp.float32),
         jax.ShapeDtypeStruct((1, k), jnp.float32),
     ]
-    return pl.pallas_call(
+    if stride == 1:
+        out_specs = [dx_spec] + tail_specs
+        out_shape = dx_shapes + tail_shapes
+        res = pl.pallas_call(
+            lambda *refs: kernel(refs), grid=grid, in_specs=in_specs,
+            out_specs=out_specs, out_shape=out_shape,
+            interpret=INTERPRET)(*ins)
+        return res
+    out_specs = dx_spec + tail_specs
+    out_shape = dx_shapes + tail_shapes
+    dx0, dx1, dwf, da, db = pl.pallas_call(
         lambda *refs: kernel(refs), grid=grid, in_specs=in_specs,
-        out_specs=out_specs, out_shape=out_shape, interpret=INTERPRET,
-    )(*ins)
+        out_specs=out_specs, out_shape=out_shape,
+        interpret=INTERPRET)(*ins)
+    # dx0 holds the even input h-rows, dx1 the odd ones — interleave
+    rrow = wdim * bq
+    dx = jnp.stack([dx0.reshape(h2, rrow, k),
+                    dx1.reshape(h2, rrow, k)], axis=1)
+    return (dx.reshape(x2d.shape), dwf, da, db)
 
 
 # ----------------------------------------------------------- wrapper

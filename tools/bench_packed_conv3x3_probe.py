@@ -17,11 +17,23 @@ and the channel-sum statistics with the custom-VJP fold
 (models/packed_region.py _sums).
 """
 
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# The fused 3x3 kernels keep full-h-row f32 accumulators on the Mosaic
+# stack; the default 16M scoped-vmem limit rejects them at 208^2x64.
+# Raise per-compile (v5e has 128M VMEM) to probe kernel viability.
+SCOPED_VMEM = os.environ.get("PROBE_SCOPED_VMEM", "65536")
+OPTS = ({"xla_tpu_scoped_vmem_limit_kib": SCOPED_VMEM}
+        if SCOPED_VMEM else None)
+
+
+def jit_opts(fn, *args):
+    return jax.jit(fn).lower(*args).compile(compiler_options=OPTS)
 
 from tf2_yolo_tpu.models.packed_region import (
     _block_diag, _sums, activate, rows_of, rows_to)
@@ -53,13 +65,11 @@ def probe(name, bq, h, w, cin, cout, stride):
     cy = jax.device_put(jnp.full(
         ((h // stride) * (w // stride) * bq, kq), 1e-4, jnp.bfloat16))
 
-    @jax.jit
     def pallas_fwd(x2, wk, a, b):
         w2 = _block_diag(wk).astype(jnp.bfloat16)
         return fused_conv3x3(x2, w2, (a, b), spatial=(bq, h, w),
                              stride=stride, act="mish")
 
-    @jax.jit
     def pallas_train(x2, wk, a, b):
         def loss(args):
             x2, wk, a, b = args
@@ -86,9 +96,8 @@ def probe(name, bq, h, w, cin, cout, stride):
         s1, s2 = _sums(y)
         return rows_of(y), s1, s2
 
-    xla_fwd = jax.jit(_xla_fwd)
+    xla_fwd = jit_opts(_xla_fwd, x2, wk, a, b)
 
-    @jax.jit
     def xla_train(x2, wk, a, b):
         def loss(args):
             y, s1, s2 = _xla_fwd(*args)
@@ -96,6 +105,9 @@ def probe(name, bq, h, w, cin, cout, stride):
                     + jnp.sum(s1) * 1e-4 + jnp.sum(s2) * 1e-5)
         return jax.value_and_grad(loss)((x2, wk, a, b))
 
+    pallas_fwd = jit_opts(pallas_fwd, x2, wk, a, b)
+    pallas_train = jit_opts(pallas_train, x2, wk, a, b)
+    xla_train = jit_opts(xla_train, x2, wk, a, b)
     t_pf = bench(pallas_fwd, x2, wk, a, b)
     t_xf = bench(xla_fwd, x2, wk, a, b)
     t_pt = bench(pallas_train, x2, wk, a, b)
@@ -119,7 +131,6 @@ def probe_stem(bq=64, h=416, w=416, cout=32):
 
     from tf2_yolo_tpu.models.packed_region import pack_batch
 
-    @jax.jit
     def pallas_train(ximg, wk):
         def loss(args):
             ximg, wk = args
@@ -132,7 +143,6 @@ def probe_stem(bq=64, h=416, w=416, cout=32):
                     + jnp.sum(s1) * 1e-4 + jnp.sum(s2) * 1e-5)
         return jax.value_and_grad(loss)((ximg, wk))
 
-    @jax.jit
     def xla_train(ximg, wk):
         def loss(args):
             ximg, wk = args
@@ -145,6 +155,8 @@ def probe_stem(bq=64, h=416, w=416, cout=32):
                     + jnp.sum(s1) * 1e-4 + jnp.sum(s2) * 1e-5)
         return jax.value_and_grad(loss)((ximg, wk))
 
+    pallas_train = jit_opts(pallas_train, ximg, wk)
+    xla_train = jit_opts(xla_train, ximg, wk)
     t_p = bench(pallas_train, ximg, wk)
     t_x = bench(xla_train, ximg, wk)
     print(f"{'stem-im2col':16s} train pallas {t_p:7.2f}  "
