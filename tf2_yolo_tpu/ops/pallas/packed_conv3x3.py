@@ -290,12 +290,10 @@ def _fwd_call(x2d, wflat, a, b, bq, hdim, wdim, stride, act,
 def _bwd_s1_kernel(bq, im2col, act, has_affine, refs):
     (xl0, xc0, xr0, xl1, xc1, xr1, xl2, xc2, xr2,
      dl0, dc0, dr0, dl1, dc1, dr1, dl2, dc2, dr2,
-     yl0, yc0, yr0, yl1, yc1, yr1, yl2, yc2, yr2,
-     w_ref, a_ref, b_ref, ds1_ref, ds2_ref,
+     w_ref, a_ref, b_ref, ds1_ref,
      dx_ref, dwf_ref, da_ref, db_ref) = refs
     xls, xcs, xrs = (xl0, xl1, xl2), (xc0, xc1, xc2), (xr0, xr1, xr2)
     dls, dcs, drs = (dl0, dl1, dl2), (dc0, dc1, dc2), (dr0, dr1, dr2)
-    yls, ycs, yrs = (yl0, yl1, yl2), (yc0, yc1, yc2), (yr0, yr1, yr2)
     rs, k = xc1.shape
     n = dc1.shape[1]
     dt = xc1.dtype
@@ -311,8 +309,6 @@ def _bwd_s1_kernel(bq, im2col, act, has_affine, refs):
         db_ref[...] = jnp.zeros_like(db_ref)
 
     ds1 = ds1_ref[...]
-    ds2 = ds2_ref[...]
-    two_ds2 = 2.0 * ds2
 
     row = jax.lax.broadcasted_iota(jnp.int32, (rs, 1), 0)
     m_first = (row >= bq).astype(jnp.float32)   # 0 on first bq rows
@@ -324,10 +320,15 @@ def _bwd_s1_kernel(bq, im2col, act, has_affine, refs):
             return v
         return jnp.where(gate, v, jnp.zeros_like(v))
 
-    # dg: transposed 9-tap fan-in over dyt = dy + ds1 + 2*y*ds2,
-    # term-split (the rank-1 ds1 contribution is a broadcast add)
+    # dg: transposed 9-tap fan-in over dyt = dyf + ds1, where
+    # dyf = dy + 2*y*ds2 was folded OUTSIDE the kernel (one fused
+    # XLA elementwise pass) — halves the dg GEMMs and the window
+    # traffic. The rank-1 ds1 term stays a separate exact broadcast:
+    # packed_gemm's rounding analysis showed pre-adding the CONSTANT
+    # into a bf16 sum swamps small dy entries (30% rel. error on dx);
+    # dy and 2*y*ds2 are same-scale row terms and fold safely.
     dg = jnp.zeros((rs, k), jnp.float32)
-    for e in (-1, 0, 1):            # dy/y h-row = i + e
+    for e in (-1, 0, 1):            # dyf h-row = i + e
         dh = 1 - e                  # the tap-h these rows back-prop
         ei = e + 1                  # ref triple index (maps use e)
         hgate = ((i > 0) if e == -1
@@ -336,25 +337,15 @@ def _bwd_s1_kernel(bq, im2col, act, has_affine, refs):
         dy_ext = jnp.concatenate([
             zed(dls[ei][...], lg), zed(dcs[ei][...], hgate),
             zed(drs[ei][...], rg)], axis=0)
-        yd_ext = jnp.concatenate([
-            zed((yls[ei][...].astype(jnp.float32)
-                 * two_ds2).astype(dt), lg),
-            zed((ycs[ei][...].astype(jnp.float32)
-                 * two_ds2).astype(dt), hgate),
-            zed((yrs[ei][...].astype(jnp.float32)
-                 * two_ds2).astype(dt), rg)], axis=0)
         hconst = (jnp.where(hgate, 1.0, 0.0)
                   if hgate is not None else None)
         if im2col:
             # one wide transposed dot per h-offset: contract n against
             # this dh's [3K] tap block, then three shifted column picks
             wt3 = w_ref[dh * 3 * k:(dh + 1) * 3 * k, :]
-            dcol = (jax.lax.dot_general(
-                        dy_ext, wt3, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    + jax.lax.dot_general(
-                        yd_ext, wt3, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32))
+            dcol = jax.lax.dot_general(
+                dy_ext, wt3, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
             cvec = jax.lax.dot_general(
                 ds1, wt3, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -376,23 +367,17 @@ def _bwd_s1_kernel(bq, im2col, act, has_affine, refs):
             for dw in range(3):
                 wt = _wrow(w_ref, dh * 3 + dw, k)
                 off = (2 - dw) * bq
-                dots = (jax.lax.dot_general(
-                            jax.lax.slice(dy_ext, (off, 0),
-                                          (off + rs, n)),
-                            wt, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-                        + jax.lax.dot_general(
-                            jax.lax.slice(yd_ext, (off, 0),
-                                          (off + rs, n)),
-                            wt, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32))
+                dots = jax.lax.dot_general(
+                    jax.lax.slice(dy_ext, (off, 0), (off + rs, n)),
+                    wt, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
                 const = jax.lax.dot_general(
                     ds1, wt, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 if hconst is not None:
                     const = const * hconst
                 # const applies only where the tap's y read is
-                # in-image; the dy/yd strips are already zeroed there
+                # in-image; the dyf strips are already zeroed there
                 cmask = ones_r
                 if dw == 2:
                     cmask = jnp.where(j == 0, m_first, ones_r)
@@ -410,8 +395,7 @@ def _bwd_s1_kernel(bq, im2col, act, has_affine, refs):
         dx_ref[...] = dg.astype(dt)
 
     # dW: per-tap shifted-g^T @ dyt over this program's output rows
-    dyt = (dc1[...].astype(jnp.float32) + ds1
-           + yc1[...].astype(jnp.float32) * two_ds2).astype(dt)
+    dyt = (dc1[...].astype(jnp.float32) + ds1).astype(dt)
     cols = []
     for dh in range(3):
         hgate = ((i > 0) if dh == 0
@@ -444,8 +428,8 @@ def _bwd_s1_kernel(bq, im2col, act, has_affine, refs):
 
 def _bwd_s2_kernel(bq, act, has_affine, refs):
     (xl0, xc0, xl1, xc1, xl2, xc2,
-     dcc, dcr, dnc, dnr, ycc, ycr, ync, ynr,
-     w_ref, a_ref, b_ref, ds1_ref, ds2_ref,
+     dcc, dcr, dnc, dnr,
+     w_ref, a_ref, b_ref, ds1_ref,
      dx0_ref, dx1_ref, dwf_ref, da_ref, db_ref) = refs
     xls, xcs = (xl0, xl1, xl2), (xc0, xc1, xc2)
     rin, k = xc1.shape              # 2*wc2*bq input center rows
@@ -465,8 +449,6 @@ def _bwd_s2_kernel(bq, act, has_affine, refs):
         db_ref[...] = jnp.zeros_like(db_ref)
 
     ds1 = ds1_ref[...]
-    ds2 = ds2_ref[...]
-    two_ds2 = 2.0 * ds2
     ngate = (i < nh - 1)
     rgate = (j < nw - 1)
 
@@ -475,20 +457,12 @@ def _bwd_s2_kernel(bq, act, has_affine, refs):
             return v
         return jnp.where(gate, v, jnp.zeros_like(v))
 
-    def yd(ref, gate):
-        return zed((ref[...].astype(jnp.float32)
-                    * two_ds2).astype(dt), gate)
-
+    # dyf = dy + 2*y*ds2 folded outside the kernel (see _bwd_s1_kernel)
     exts = {
         "c": (jnp.concatenate([dcc[...], zed(dcr[...], rgate)],
-                              axis=0),
-              jnp.concatenate([yd(ycc, None), yd(ycr, rgate)],
                               axis=0), None),
         "n": (jnp.concatenate([zed(dnc[...], ngate),
                                zed(dnr[...], _and(ngate, rgate))],
-                              axis=0),
-              jnp.concatenate([yd(ync, ngate),
-                               yd(ynr, _and(ngate, rgate))],
                               axis=0), ngate),
     }
 
@@ -497,17 +471,13 @@ def _bwd_s2_kernel(bq, act, has_affine, refs):
     ones_r = jnp.ones((rout, 1), jnp.float32)
 
     def term(src, shift, tap):
-        dy_ext, yd_ext, hconst = exts[src]
+        dy_ext, hconst = exts[src]
         off = shift * bq
         wt = _wrow(w_ref, tap, k)
-        out = (jax.lax.dot_general(
-                   jax.lax.slice(dy_ext, (off, 0), (off + rout, n)),
-                   wt, (((1,), (1,)), ((), ())),
-                   preferred_element_type=jnp.float32)
-               + jax.lax.dot_general(
-                   jax.lax.slice(yd_ext, (off, 0), (off + rout, n)),
-                   wt, (((1,), (1,)), ((), ())),
-                   preferred_element_type=jnp.float32))
+        out = jax.lax.dot_general(
+            jax.lax.slice(dy_ext, (off, 0), (off + rout, n)),
+            wt, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
         const = jax.lax.dot_general(
             ds1, wt, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -544,8 +514,7 @@ def _bwd_s2_kernel(bq, act, has_affine, refs):
     emit(dx1_ref, interleave(q10, q11), xc2)    # input h-row 2i+1
 
     # dW over this program's output chunk
-    dyt = (dcc[...].astype(jnp.float32) + ds1
-           + ycc[...].astype(jnp.float32) * two_ds2).astype(dt)
+    dyt = (dcc[...].astype(jnp.float32) + ds1).astype(dt)
     for dh in range(3):
         hgate = (i > 0) if dh == 0 else None
         lh = _g_of(xls[dh][...], a_ref, b_ref, act, has_affine,
@@ -564,12 +533,12 @@ def _bwd_s2_kernel(bq, act, has_affine, refs):
                 preferred_element_type=jnp.float32)
 
 
-def _bwd_call(x2d, wflat, a, b, y2d, dy, ds1, ds2,
+def _bwd_call(x2d, wflat, a, b, dyf, ds1,
               bq, hdim, wdim, stride, act, has_affine, im2col):
     k = x2d.shape[1]
     n = wflat.shape[1]
     nbq_in = x2d.shape[0] // bq
-    nbq_out = y2d.shape[0] // bq
+    nbq_out = dyf.shape[0] // bq
 
     def halo(arr_k, nbq, idx_fn):
         return pl.BlockSpec(
@@ -581,7 +550,7 @@ def _bwd_call(x2d, wflat, a, b, y2d, dy, ds1, ds2,
         nw = wdim // wc
         rs = wc * bq
         in_specs, ins = [], []
-        for arr, arr_k in ((x2d, k), (dy, n), (y2d, n)):
+        for arr, arr_k in ((x2d, k), (dyf, n)):
             for dh in range(3):
                 def hh(i, d=dh):
                     return jnp.clip(i + d - 1, 0, hdim - 1)
@@ -621,19 +590,18 @@ def _bwd_call(x2d, wflat, a, b, y2d, dy, ds1, ds2,
                              lambda i, j, d=dh: (hh(i, d) * nw + j, 0)),
             ]
             ins += [x2d, x2d]
-        for arr in (dy, y2d):
-            for e in (0, 1):        # output h-rows i and i+1
-                def ho(i, eo=e):
-                    return jnp.clip(i + eo, 0, h2 - 1)
-                in_specs += [
-                    pl.BlockSpec(
-                        (rout, n),
-                        lambda i, j, eo=e: (ho(i, eo) * nw + j, 0)),
-                    halo(n, nbq_out,
-                         lambda i, j, eo=e: ho(i, eo) * w2
-                         + (j + 1) * wc2),
-                ]
-                ins += [arr, arr]
+        for e in (0, 1):            # output h-rows i and i+1
+            def ho(i, eo=e):
+                return jnp.clip(i + eo, 0, h2 - 1)
+            in_specs += [
+                pl.BlockSpec(
+                    (rout, n),
+                    lambda i, j, eo=e: (ho(i, eo) * nw + j, 0)),
+                halo(n, nbq_out,
+                     lambda i, j, eo=e: ho(i, eo) * w2
+                     + (j + 1) * wc2),
+            ]
+            ins += [dyf, dyf]
         grid = (h2, nw)
         # dx comes out as two half-sized arrays (even / odd input
         # h-rows), interleaved below — each grid step owns one w-chunk
@@ -652,9 +620,8 @@ def _bwd_call(x2d, wflat, a, b, y2d, dy, ds1, ds2,
         pl.BlockSpec((1, k), lambda i, j: (0, 0)),
         pl.BlockSpec((1, k), lambda i, j: (0, 0)),
         pl.BlockSpec((1, n), lambda i, j: (0, 0)),
-        pl.BlockSpec((1, n), lambda i, j: (0, 0)),
     ]
-    ins += [wflat, a, b, ds1, ds2]
+    ins += [wflat, a, b, ds1]
     tail_specs = [
         pl.BlockSpec(wflat.shape, lambda i, j: (0, 0)),
         pl.BlockSpec((1, k), lambda i, j: (0, 0)),
@@ -702,8 +669,14 @@ def _build(bq, hdim, wdim, stride, act, has_affine, im2col):
     def bwd(res, cts):
         x2d, wflat, a, b, y = res
         dy, ds1, ds2 = cts
+        # fold the row-scale statistics cotangent terms into one
+        # array (a single fused XLA elementwise pass); the rank-1 ds1
+        # constant stays a separate exact in-kernel broadcast (see
+        # _bwd_s1_kernel)
+        dyf = (dy.astype(jnp.float32)
+               + y.astype(jnp.float32) * (2.0 * ds2)).astype(dy.dtype)
         dx, dwf, da, db = _bwd_call(
-            x2d, wflat, a, b, y, dy, ds1, ds2,
+            x2d, wflat, a, b, dyf, ds1,
             bq, hdim, wdim, stride, act, has_affine, im2col)
         return (dx.astype(x2d.dtype), dwf.astype(wflat.dtype),
                 da.astype(a.dtype), db.astype(b.dtype))

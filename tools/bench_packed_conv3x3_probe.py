@@ -164,11 +164,17 @@ def probe_stem(bq=64, h=416, w=416, cout=32):
 
 
 def main():
-    print(f"device={jax.devices()[0]}")
-    probe("stage1-expand", 64, 208, 208, 64, 64, 1)
-    probe("stage1-down", 64, 416, 416, 32, 64, 2)
-    probe("stage2-expand", 64, 104, 104, 64, 64, 1)
-    probe_stem()
+    import sys
+    print(f"device={jax.devices()[0]}", flush=True)
+    which = set(sys.argv[1:]) or {"s1e", "s1d", "s2e", "stem"}
+    if "s1e" in which:
+        probe("stage1-expand", 64, 208, 208, 64, 64, 1)
+    if "s1d" in which:
+        probe("stage1-down", 64, 416, 416, 32, 64, 2)
+    if "s2e" in which:
+        probe("stage2-expand", 64, 104, 104, 64, 64, 1)
+    if "stem" in which:
+        probe_stem()
 
 
 if __name__ == "__main__":
