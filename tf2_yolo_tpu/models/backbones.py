@@ -285,26 +285,33 @@ class CSPDarknet53(nn.Module):
                   and not self.remat)
         if packed:
             from . import packed_region as pr
-            if _layers.PACKED_P3 and x.shape[0] % 2 == 0:
-                # whole early region in Pallas: the stem consumes the
-                # batch-packed IMAGE through the small-K im2col kernel
-                # (one [R,54]x[54,64] dot — sidesteps both the
-                # pathological 6-channel packed XLA dW and the 1.4 GB
-                # stem-output pack transposes), then batch-packed
-                # stages 1-2 with 3x3s as fused 9-tap GEMMs and the
-                # residual chains as sum-GEMM term lists
-                xp = pr.pack_batch(x.astype(self.dtype))
-                bq, hh, wwid = xp.shape[0], xp.shape[1], xp.shape[2]
-                y2, aff = pr.PackedPallasConvBN3x3(
-                    32, 1, im2col=True, **kw,
-                    name="stem")(pr.rows_of(xp), None,
-                                 (bq, hh, wwid), train)
-                carry = (y2, aff, (bq, hh, wwid))
+            if _layers.PACKED_P3 and x.shape[0] % 4 == 0:
+                # whole early region in Pallas past the stem. The stem
+                # itself stays an UNPACKED XLA conv (custom-VJP stats,
+                # PackedConvBN3x3 p=1): row views of its 3-in/32-out
+                # tensors have 6/64 lanes, which HBM (8,128) tiling
+                # pads to 128 — a measured 2.64 GB single tensor at
+                # 416^2/b128 that OOMs the chip. Its 32-channel output
+                # packs at p=4 (4x32 = a dense 128 lanes) for the
+                # stage1 down conv; the p=4 -> p=2 boundary after the
+                # downsample is a pure reshape (see P3CSPStage.p_down).
+                # Stages 1-2 then run batch-packed with 3x3s as fused
+                # 9-tap GEMMs and residual chains as sum-GEMM term
+                # lists.
+                y4, aff1 = pr.PackedConvBN3x3(
+                    32, 3, 1, p=1, bn_axis_name=self.bn_axis_name,
+                    dtype=self.dtype,
+                    name="stem")(x.astype(self.dtype), train)
+                xp4 = pr.pack_batch(y4, 4)
+                bq, hh, wwid = xp4.shape[0], xp4.shape[1], xp4.shape[2]
+                aff = (jnp.tile(aff1[0], (1, 4)),
+                       jnp.tile(aff1[1], (1, 4)))
+                carry = (pr.rows_of(xp4), aff, (bq, hh, wwid))
                 for i, (f, blocks, narrow) in enumerate(
                         self._SPECS[:2]):
                     carry = pr.P3CSPStage(
-                        f, blocks, narrow, **kw,
-                        name=f"stage{i + 1}")(carry, train)
+                        f, blocks, narrow, p_down=4 if i == 0 else 0,
+                        **kw, name=f"stage{i + 1}")(carry, train)
                 y2, aff, (bq, h, w) = carry
                 x = pr.unpack_batch(pr.rows_to(
                     pr.activate(y2, aff, "mish", self.dtype),

@@ -426,10 +426,20 @@ class P3CSPStage(nn.Module):
     a term list consumed by sum-GEMMs, so between kernel outputs (raw
     conv results — unavoidable) no tensor is materialized: no BN
     normalize, no activation pass, no residual add, no concat. Takes
-    and returns (raw y2d rows, affine, (Bq, H, W))."""
+    and returns (raw y2d rows, affine, (Bq, H, W)).
+
+    ``p_down`` runs the stride-2 down conv at a higher packing factor
+    than the stage body: stage1's input is 32-channel, which at p=2
+    gives 64-lane row arrays that HBM tiling pads 2x (a measured
+    2.64 GB tensor at 416^2/b128); at p=4 the lanes are a dense 128.
+    Because pack_batch folds CONSECUTIVE images, the p=4 down output
+    [R, 4C] reinterprets as the p=2 layout [2R, 2C] with a pure
+    reshape — image pairs land exactly where pack_batch(x, 2) puts
+    them, so no data moves at the boundary."""
     features: int
     blocks: int
     narrow: bool = True
+    p_down: int = 0
     bn_axis_name: Optional[str] = None
     p: int = P
     dtype: Any = jnp.float32
@@ -440,10 +450,19 @@ class P3CSPStage(nn.Module):
         kw = dict(bn_axis_name=self.bn_axis_name, p=self.p,
                   dtype=self.dtype)
         mid = self.features // 2 if self.narrow else self.features
+        pd = self.p_down or self.p
         dn_y, dn_aff = PackedPallasConvBN3x3(
-            self.features, 2, act_in="mish", **kw,
+            self.features, 2, act_in="mish",
+            bn_axis_name=self.bn_axis_name, p=pd, dtype=self.dtype,
             name="down")(y_in, aff_in, (bq, h, w), train)
         h, w = h // 2, w // 2
+        if pd != self.p:
+            f = pd // self.p
+            dn_y = dn_y.reshape(dn_y.shape[0] * f,
+                                dn_y.shape[1] // f)
+            dn_aff = (dn_aff[0][:, :dn_aff[0].shape[1] // f],
+                      dn_aff[1][:, :dn_aff[1].shape[1] // f])
+            bq = bq * f
         cross = PackedGemmConvBN(
             mid, act="mish", **kw,
             name="cross")([(dn_y, dn_aff)], train)

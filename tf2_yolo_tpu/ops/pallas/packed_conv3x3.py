@@ -223,7 +223,11 @@ def _fwd_call(x2d, wflat, a, b, bq, hdim, wdim, stride, act,
             lambda i, j, f=idx_fn: (jnp.clip(f(i, j), 0, nbq - 1), 0))
 
     if stride == 1:
-        wc = _chunk_cols(wdim, bq, BLOCK_ROWS)
+        # the im2col variant carries extra wide lane-padded buffers
+        # (the [R,9K] col and the transposed dcol) — halve its block
+        # budget (a 3328-row stem bwd measured 28.2 MB scoped VMEM)
+        wc = _chunk_cols(wdim, bq,
+                         BLOCK_ROWS // 2 if im2col else BLOCK_ROWS)
         nw = wdim // wc
         rs = wc * bq
         in_specs, ins = [], []
@@ -546,7 +550,8 @@ def _bwd_call(x2d, wflat, a, b, dyf, ds1,
             lambda i, j, f=idx_fn: (jnp.clip(f(i, j), 0, nbq - 1), 0))
 
     if stride == 1:
-        wc = _chunk_cols(wdim, bq, BLOCK_ROWS)
+        wc = _chunk_cols(wdim, bq,
+                         BLOCK_ROWS // 2 if im2col else BLOCK_ROWS)
         nw = wdim // wc
         rs = wc * bq
         in_specs, ins = [], []

@@ -335,6 +335,15 @@ def fused_gemm(xs: Sequence[jnp.ndarray],
     Differentiable via a fused custom VJP (see module docstring).
     """
     nx = len(xs)
+    # A 3-term 128-lane sum-GEMM bwd (P3 stage2 'post') measured
+    # 24.78 MB of scoped VMEM at mblk 2048 — marginally over the
+    # 24 MB compile budget; halve the row block for that class. The
+    # wider-lane many-term stages (PACKED=1 stages 3-5, k>=256, up to
+    # 9 terms) compile and were measured end-to-end at 2048 — leave
+    # them alone.
+    if nx >= 3 and mblk_bwd >= 2048 and max(
+            x.shape[1] for x in xs) <= 128:
+        mblk_bwd = 1024
     pattern = tuple(a is not None for a in affines)
     aas, bbs = [], []
     for i, a in enumerate(affines):
