@@ -163,6 +163,16 @@ def main():
         state, logs = step(state, x, ys)
     jax.block_until_ready(logs["loss"])
 
+    # BENCH_PROFILE_DIR: capture a 3-step jax.profiler trace of the
+    # exact benched program (parse with tools/parse_tpu_profile.py)
+    prof_dir = os.environ.get("BENCH_PROFILE_DIR")
+    if prof_dir:
+        jax.profiler.start_trace(prof_dir)
+        for _ in range(3):
+            state, logs = step(state, x, ys)
+        jax.block_until_ready(logs["loss"])
+        jax.profiler.stop_trace()
+
     t0 = time.perf_counter()
     for _ in range(STEPS):
         state, logs = step(state, x, ys)

@@ -302,20 +302,20 @@ class CSPDarknet53(nn.Module):
                     32, 3, 1, p=1, bn_axis_name=self.bn_axis_name,
                     dtype=self.dtype,
                     name="stem")(x.astype(self.dtype), train)
-                xp4 = pr.pack_batch(y4, 4)
-                bq, hh, wwid = xp4.shape[0], xp4.shape[1], xp4.shape[2]
+                nb, hh, wwid = y4.shape[0], y4.shape[1], y4.shape[2]
                 aff = (jnp.tile(aff1[0], (1, 4)),
                        jnp.tile(aff1[1], (1, 4)))
-                carry = (pr.rows_of(xp4), aff, (bq, hh, wwid))
+                carry = (pr.rows_of_packed(y4, 4), aff,
+                         (nb // 4, hh, wwid))
                 for i, (f, blocks, narrow) in enumerate(
                         self._SPECS[:2]):
                     carry = pr.P3CSPStage(
                         f, blocks, narrow, p_down=4 if i == 0 else 0,
                         **kw, name=f"stage{i + 1}")(carry, train)
                 y2, aff, (bq, h, w) = carry
-                x = pr.unpack_batch(pr.rows_to(
+                x = pr.rows_to_unpacked(
                     pr.activate(y2, aff, "mish", self.dtype),
-                    bq, h, w))
+                    nb, h, w, 2)
             elif _layers.PACKED_P2 and x.shape[0] % 2 == 0:
                 xp = pr.pack_batch(x.astype(self.dtype))
                 y4, aff = pr.PackedConvBN3x3(

@@ -129,6 +129,27 @@ def rows_to(y2, bq, h, w):
     return y2.reshape(h, w, bq, y2.shape[-1]).transpose(2, 0, 1, 3)
 
 
+def rows_of_packed(x4, p):
+    """[B,H,W,C] -> [H*W*(B/p), p*C] packed rows DIRECTLY — the fused
+    composition of pack_batch + rows_of. Written as one transpose
+    whose result is bitcast-identical to the {3,0,2,1} layout XLA
+    assigns conv tensors (C minor, then B: consecutive images' channel
+    blocks are already adjacent), so layout assignment folds it to
+    zero-cost. The two-step pack_batch∘rows_of spelling goes through
+    5D intermediates XLA fails to fold — profiled as 1.4 GB relayout
+    copies + a [32,1664,416,32] pad fusion at the P3 stem boundary."""
+    b, h, w, c = x4.shape
+    return x4.transpose(1, 2, 0, 3).reshape(h * w * (b // p), p * c)
+
+
+def rows_to_unpacked(y2, b, h, w, p):
+    """Inverse of :func:`rows_of_packed`: [H*W*(B/p), p*C] packed
+    rows -> [B,H,W,C], again via one {3,0,2,1}-foldable transpose."""
+    c = y2.shape[-1] // p
+    return (y2.reshape(h, w, b, c)
+            .transpose(2, 0, 1, 3))
+
+
 class PackedConvBN3x3(nn.Module):
     """3x3 (or stride-2 darknet-pad) ConvBN on packed tensors via an
     XLA conv with block-diagonal weights. Consumes an ACTIVATED packed

@@ -171,6 +171,10 @@ def main():
         probe("stage1-expand", 64, 208, 208, 64, 64, 1)
     if "s1d" in which:
         probe("stage1-down", 64, 416, 416, 32, 64, 2)
+    if "s1d4" in which:
+        # the in-model p=4 shape (P3CSPStage.p_down): bq=B/4, dense
+        # 128-lane input rows, 256-lane output
+        probe("stage1-down-p4", 32, 416, 416, 64, 128, 2)
     if "s2e" in which:
         probe("stage2-expand", 64, 104, 104, 64, 64, 1)
     if "stem" in which:
