@@ -269,3 +269,64 @@ def test_yolov4_resnet50_forward_matches_reference(tmp_path_factory):
     for i, out in enumerate(outs):
         np.testing.assert_allclose(np.asarray(out), io[f"out{i}"],
                                    rtol=5e-2, atol=2.5e-2)
+
+
+def test_yolov2_unet_forward_matches_reference(tmp_path_factory):
+    """v2 with the UNet encoder-decoder backbone (reference
+    yolov2/models/backbone.py:76-108, body feeds the head directly —
+    darknet.py:52-55) under positionally converted weights — the last
+    v2 backbone family without converted-weight parity."""
+    import jax
+    import jax.numpy as jnp
+    from tf2_yolo_tpu.convert import (load_h5_weights,
+                                      convert_yolov2_unet,
+                                      merge_into_variables)
+    from tf2_yolo_tpu.models import YoloV2
+
+    outdir = _export(tmp_path_factory, "ref_export_v2_unet.py",
+                     "refv2unet")
+    io = np.load(os.path.join(outdir, "ref_io.npz"))
+    anchors = np.array([[0.25, 0.25], [0.35, 0.12]], np.float32)
+    model = YoloV2(anchors=anchors, class_num=3, backbone="unet")
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 128, 128, 3)), train=False)
+    merged = merge_into_variables(
+        variables, *convert_yolov2_unet(
+            load_h5_weights(os.path.join(outdir, "ref_v2_unet.h5")),
+            variables, 3, 2))
+    out, _ = model.apply(merged, jnp.asarray(io["x"]), train=True,
+                         mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out), io["out"],
+                               rtol=1e-2, atol=2e-3)
+
+
+def test_yolov3_tiny_forward_matches_reference(tmp_path_factory):
+    """tiny-YOLOv3 (reference yolov3/models/darknet.py:107-135: the
+    11-conv body with the stride-1 SAME maxpool and 2-level head)
+    under positionally converted weights."""
+    import jax
+    import jax.numpy as jnp
+    from tf2_yolo_tpu.convert import (load_h5_weights,
+                                      convert_yolov3_tiny,
+                                      merge_into_variables)
+    from tf2_yolo_tpu.models import YoloV3
+
+    outdir = _export(tmp_path_factory, "ref_export_v3_tiny.py",
+                     "refv3tiny")
+    io = np.load(os.path.join(outdir, "ref_io.npz"))
+    anchors = np.stack([np.linspace(0.1, 0.9, 6),
+                        np.linspace(0.2, 0.8, 6)],
+                       1).astype(np.float32)
+    model = YoloV3(anchors=anchors, class_num=3,
+                   backbone="tiny_darknet")
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 128, 128, 3)), train=False)
+    merged = merge_into_variables(
+        variables, *convert_yolov3_tiny(
+            load_h5_weights(os.path.join(outdir, "ref_v3_tiny.h5")),
+            class_num=3))
+    outs, _ = model.apply(merged, jnp.asarray(io["x"]), train=True,
+                          mutable=["batch_stats"])
+    for i, out in enumerate(outs):
+        np.testing.assert_allclose(np.asarray(out), io[f"out{i}"],
+                                   rtol=1.5e-2, atol=3e-3)

@@ -371,6 +371,86 @@ def convert_yolov2_positional(h5_path_or_weights, variables,
     return params, stats
 
 
+def convert_yolov2_unet(h5_path_or_weights, variables, class_num,
+                        abox_num):
+    """Convert a reference YOLOv2 unet-backbone h5 by position.
+
+    The unet body is 16 Conv2D(+bias)+BN pairs in creation order
+    (reference yolov2/models/backbone.py:76-108: 10 encoder convs,
+    up6 2x2 conv, conv6 x2, up7 2x2 conv, conv7 x2 — the body feeds
+    the head directly, no passthrough neck, darknet.py:52-55), then
+    the per-anchor head convs (xy, wh, conf, prob) x abox_num."""
+    h5w = (h5_path_or_weights
+           if isinstance(h5_path_or_weights, dict)
+           else load_h5_weights(h5_path_or_weights))
+    convs = _numbered(h5w, "conv2d")
+    bns = _numbered(h5w, "batch_normalization")
+
+    params, stats = {}, {}
+    backbone_keys = _suffix_sorted(variables["params"]["backbone"],
+                                   prefix="ConvActBN_")
+    if len(convs) != len(backbone_keys) + 4 * abox_num:
+        raise ValueError(
+            f"expected {len(backbone_keys) + 4 * abox_num} convs, "
+            f"h5 has {len(convs)}")
+    if len(bns) != len(backbone_keys):
+        raise ValueError(
+            f"expected {len(backbone_keys)} batch_normalization "
+            f"layers, h5 has {len(bns)}")
+
+    for key, conv, bn in zip(backbone_keys, convs, bns):
+        _assign_convbn_positional(params, stats, ("backbone", key),
+                                  conv, bn)
+
+    head_convs = convs[len(backbone_keys):]
+    kernels, biases = [], []
+    for j in range(abox_num):
+        group = head_convs[4 * j:4 * j + 4]     # xy, wh, conf, prob
+        for lay, ch in zip(group, (2, 2, 1, class_num)):
+            k = lay["kernel"]
+            if k.shape[-1] != ch:
+                raise ValueError(
+                    f"head conv channel mismatch: {k.shape[-1]} vs "
+                    f"{ch}")
+            kernels.append(k)
+            biases.append(lay.get("bias", np.zeros(ch, np.float32)))
+    _set_in(params, ("head", "conv"),
+            {"kernel": np.concatenate(kernels, axis=-1),
+             "bias": np.concatenate(biases, axis=-1)})
+    return params, stats
+
+
+def convert_yolov3_tiny(h5_path_or_weights, class_num, abox_num=3):
+    """Convert a reference tiny-YOLOv3 h5 by position: 11 no-bias
+    conv+BN pairs in creation order (reference yolov3/models/
+    darknet.py:107-135 — 8 backbone convs 16..1024,256, then the
+    512-out head conv, the 128 up conv, the 256 merge conv), plus the
+    NAMED per-level per-anchor head convs (out{i}_box{j}_*) fused
+    per level like the full v3."""
+    h5w = (h5_path_or_weights
+           if isinstance(h5_path_or_weights, dict)
+           else load_h5_weights(h5_path_or_weights))
+    convs = _numbered(h5w, "conv2d")
+    bns = _numbered(h5w, "batch_normalization")
+
+    ordered = [("backbone", f"ConvBN_{i}") for i in range(8)]
+    ordered += [("tiny_out1",), ("tiny_up",), ("tiny_out2",)]
+    if len(convs) != len(ordered) or len(bns) != len(ordered):
+        raise ValueError(
+            f"expected {len(ordered)} conv/bn pairs, h5 has "
+            f"{len(convs)}/{len(bns)}")
+
+    params, stats = {}, {}
+    for path, conv, bn in zip(ordered, convs, bns):
+        _assign_convbn_positional(params, stats, path, conv, bn)
+
+    used = set()
+    for level in (1, 2):
+        fused, _ = _fuse_head(h5w, level, abox_num, class_num, used)
+        _set_in(params, (f"head{level}", "conv"), fused)
+    return params, stats
+
+
 def _copy_pair(h5w, conv_name, bn_name, params, stats, conv_path,
                bn_path, dw=False):
     """Copy one keras conv layer (+ optional BN layer) onto explicit
