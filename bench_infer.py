@@ -120,9 +120,12 @@ def main():
     # Same jitted fn; the added "quant" collection retriggers trace.
     if os.environ.get("BENCH_INT8", "1") == "1":
         # BENCH_INT8_MIN_CH=n keeps sub-n-channel layers on bf16 (see
-        # models/layers.py set_int8_min_channels) — the mixed-precision
-        # gate probed for the small-batch int8 losses.
-        min_ch = int(os.environ.get("BENCH_INT8_MIN_CH", "0"))
+        # models/layers.py set_int8_min_channels). Default 256 — the
+        # measured optimum: gating the bandwidth-bound narrow stages
+        # flipped every previously-losing int8 shape (608²/b32
+        # 456→552, 416²/b32 914→1147) and lifted the b128 peak
+        # 1970→2015. BENCH_INT8_MIN_CH=0 quantizes everything.
+        min_ch = int(os.environ.get("BENCH_INT8_MIN_CH", "256"))
         if min_ch:
             from tf2_yolo_tpu.models.layers import set_int8_min_channels
             set_int8_min_channels(min_ch)

@@ -298,9 +298,15 @@ def test_facade_export_model_int8(tmp_path):
     rng = np.random.RandomState(1)
     x = rng.rand(2, 96, 96, 3).astype(np.float32)
 
+    # int8_min_channels=0 so the facade quantizes every calibrated
+    # layer — the manual pipeline below runs with the ambient gate
+    # (0) and the comparison is exact equality. The default gate
+    # (256, the measured serving optimum) only shrinks the quantized
+    # set; its plumbing is pinned separately below.
     path = str(tmp_path / "v3tiny_int8.serving")
     yolo.export_model(path, batch_size=2, threshold=0.05,
-                      max_boxes=32, int8_calibration=[x])
+                      max_boxes=32, int8_calibration=[x],
+                      int8_min_channels=0)
     served = load_serving(path)
     assert served.meta["int8"] is True
     assert served.meta["fold_bn"] is False
@@ -321,6 +327,53 @@ def test_facade_export_model_int8(tmp_path):
     np.testing.assert_array_equal(np.asarray(keep), np.asarray(keep_d))
     np.testing.assert_allclose(np.asarray(rows), np.asarray(rows_d),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_facade_export_int8_min_channels_plumbing(monkeypatch):
+    """export_model applies int8_min_channels around save_serving
+    (default 256, the measured serving optimum — BASELINE.md) and
+    restores the ambient gate afterwards; float exports leave the
+    gate untouched."""
+    from tf2_yolo_tpu import yolov3
+    from tf2_yolo_tpu.models import layers as _layers
+    import tf2_yolo_tpu.facade_base as facade_base
+
+    yolo = yolov3.Yolo(input_shape=(96, 96, 3),
+                       class_names=["a", "b"])
+    anchors = np.stack([np.linspace(0.1, 0.9, 6),
+                        np.linspace(0.2, 0.8, 6)], 1)
+    yolo.create_model(anchors=anchors, backbone="tiny_darknet",
+                      pretrained_body=None)
+    x = np.random.RandomState(0).rand(1, 96, 96, 3).astype(np.float32)
+
+    seen = {}
+
+    def fake_save_serving(path, module, variables, **kw):
+        seen["min_ch"] = _layers.INT8_MIN_CHANNELS
+        seen["quant"] = kw.get("quant") is not None
+        return "sentinel"
+
+    monkeypatch.setattr("tf2_yolo_tpu.export.save_serving",
+                        fake_save_serving)
+    assert _layers.INT8_MIN_CHANNELS == 0  # ambient default
+
+    # int8 export: default gate 256 active during save, restored after
+    out = yolo.export_model("/nonexistent/ignored", batch_size=1,
+                            int8_calibration=[x])
+    assert out == "sentinel"
+    assert seen == {"min_ch": 256, "quant": True}
+    assert _layers.INT8_MIN_CHANNELS == 0
+
+    # explicit override
+    yolo.export_model("/nonexistent/ignored", batch_size=1,
+                      int8_calibration=[x], int8_min_channels=64)
+    assert seen["min_ch"] == 64
+    assert _layers.INT8_MIN_CHANNELS == 0
+
+    # float export: gate untouched regardless of the kwarg default
+    yolo.export_model("/nonexistent/ignored", batch_size=1)
+    assert seen == {"min_ch": 0, "quant": False}
+    assert _layers.INT8_MIN_CHANNELS == 0
 
 
 def test_saved_model_export(tmp_path):

@@ -220,7 +220,7 @@ class YoloBase:
     def export_model(self, path, batch_size=1, threshold=0.5,
                      nms_mode=1, nms_threshold=0.45, nms_sigma=0.5,
                      max_boxes=128, fold_bn=True, platforms=None,
-                     int8_calibration=None):
+                     int8_calibration=None, int8_min_channels=256):
         """Export a fixed-shape serving artifact (forward + decode +
         NMS, weights embedded, BatchNorm folded) via jax.export.
 
@@ -239,6 +239,16 @@ class YoloBase:
         program instead (fastest measured serving path on v5e,
         BASELINE.md; BN folding is skipped because the int8 epilogue
         already collapses dequant+BN+bias into one affine).
+
+        ``int8_min_channels``: layers with fewer output channels stay
+        bf16 in the int8 artifact (models/layers.py
+        set_int8_min_channels). Default 256 — the measured optimum:
+        the narrow early stages are bandwidth-bound, so their
+        quantize/dequantize passes cost more than the int8 MXU saves;
+        gating them flips every previously-losing deployment shape
+        (608²/b32 456→552 img/s, 416²/b32 914→1147) and lifts the
+        serving peak (416²/b128 1970→2015). Set 0 to quantize every
+        calibrated layer.
         """
         from .export import save_serving
 
@@ -252,15 +262,22 @@ class YoloBase:
             quant = calibrate_int8(self.model.module, variables,
                                    int8_calibration)
             fold_bn = False
-        return save_serving(
-            path, self.model.module, variables,
-            input_shape=self.input_shape, batch_size=batch_size,
-            class_num=self.class_num, version=self.version,
-            class_names=self.class_names,
-            fold_bn=fold_bn, platforms=platforms,
-            threshold=threshold, nms_mode=nms_mode,
-            nms_threshold=nms_threshold, nms_sigma=nms_sigma,
-            max_boxes=max_boxes, quant=quant)
+        from .models import layers as _layers
+        prev_min_ch = _layers.INT8_MIN_CHANNELS
+        _layers.set_int8_min_channels(
+            int8_min_channels if quant is not None else prev_min_ch)
+        try:
+            return save_serving(
+                path, self.model.module, variables,
+                input_shape=self.input_shape, batch_size=batch_size,
+                class_num=self.class_num, version=self.version,
+                class_names=self.class_names,
+                fold_bn=fold_bn, platforms=platforms,
+                threshold=threshold, nms_mode=nms_mode,
+                nms_threshold=nms_threshold, nms_sigma=nms_sigma,
+                max_boxes=max_boxes, quant=quant)
+        finally:
+            _layers.set_int8_min_channels(prev_min_ch)
 
     # ------------------------------------------------------------------
     @staticmethod
