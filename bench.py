@@ -30,11 +30,11 @@ ACCUM = int(os.environ.get("BENCH_ACCUM", "1"))
 # BENCH_XLA_OPTS: JSON dict of per-compile XLA compiler options.
 # These DO reach the remote TPU compiler (env XLA_FLAGS does not).
 # Default: scoped-vmem 24576 — the best measured setting (447.0 vs
-# 441.0 img/s round 3; 20480 -> 446.1, 32768 never finished). The
-# first compile at this option takes ~20 min on the remote compiler,
-# but it is persisted in JAX_COMPILATION_CACHE_DIR (warmed on this
-# box), so repeat runs start in seconds. Set BENCH_XLA_OPTS='{}' to
-# measure the plain-default compile instead.
+# 441.0 img/s round 3; 20480 -> 446.1, 32768 never finished).
+# Compile caching for the remote axon TPU lives SERVER-side behind
+# the tunnel (local JAX_COMPILATION_CACHE_DIR is never populated by
+# remote compiles); a cold full run costs ~8 min, warm runs start in
+# seconds. Set BENCH_XLA_OPTS='{}' for the plain-default compile.
 XLA_OPTS = json.loads(os.environ.get(
     "BENCH_XLA_OPTS", '{"xla_tpu_scoped_vmem_limit_kib": "24576"}'))
 # BENCH_FUSED=1 enables the Pallas fused conv+BN-statistics path
