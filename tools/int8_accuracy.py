@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--imbalance", default="0.7,0.2,0.1")
+    ap.add_argument("--min-channels", type=int, default=256,
+                    help="also score int8 with the serving-default "
+                         "min-channel gate (layers under this many "
+                         "output channels stay bf16; 0 skips the "
+                         "gated pass)")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -77,14 +82,38 @@ def main():
 
     map_f = eval_map(heldout_labels, preds_f, facade.class_names, 4)
     map_q = eval_map(heldout_labels, preds_q, facade.class_names, 4)
-    print(json.dumps({
+    out = {
         "metric": "yolov4_int8_holdout_map@0.5_voc2012",
         "size": args.size, "images": args.images,
         "holdout": args.holdout, "epochs": args.epochs,
         "map_float": round(map_f, 4), "map_int8": round(map_q, 4),
         "map_delta": round(map_q - map_f, 4),
         "train_seconds": round(train_s, 1),
-    }))
+    }
+
+    if args.min_channels:
+        # The serving default (export_model int8_min_channels=256)
+        # quantizes a strict subset of the ungated layers, so its
+        # error is bounded by the ungated delta — but measure it
+        # anyway. A FRESH jit is required: the gate is read at trace
+        # time and the gated call's pytree matches the ungated one,
+        # so reusing `fwd` would silently return the ungated program.
+        from tf2_yolo_tpu.models.layers import set_int8_min_channels
+        set_int8_min_channels(args.min_channels)
+        try:
+            fwd_g = jax.jit(
+                lambda v, xb: module.apply(v, xb, train=False))
+            preds_g = [np.asarray(o)
+                       for o in fwd_g({**variables, **quant}, x)]
+        finally:
+            set_int8_min_channels(0)
+        map_g = eval_map(heldout_labels, preds_g,
+                         facade.class_names, 4)
+        out["int8_min_channels"] = args.min_channels
+        out["map_int8_gated"] = round(map_g, 4)
+        out["map_delta_gated"] = round(map_g - map_f, 4)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
