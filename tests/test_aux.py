@@ -63,6 +63,56 @@ def test_checkpoint_save_restore(tmp_path):
                                np.zeros((3,)))
 
 
+def test_fit_resume_preemption(tmp_path):
+    """Preemption-safe resume (SURVEY §5 failure/elastic-recovery row,
+    absent in the reference): 2 epochs + kill + fit(resume=True) to the
+    same total-epoch target must reproduce the uninterrupted 4-epoch
+    run exactly — params, step counter, and shuffle order — and a
+    resume past a completed run is a no-op."""
+    import jax
+    import numpy as np
+    from tf2_yolo_tpu.engine import Model
+    from tf2_yolo_tpu.models import YoloV2
+    from tf2_yolo_tpu.ops import wrap_yolo_loss_v2
+
+    anchors = [[0.3, 0.3]]
+    x = np.random.RandomState(0).rand(4, 64, 64, 3).astype(np.float32)
+    y = np.zeros((4, 2, 2, 6), np.float32)
+    y[:, 0, 0] = [0.5, 0.5, 0.3, 0.3, 1, 1]
+
+    def make():
+        m = Model(YoloV2(anchors=anchors, class_num=1), (64, 64, 3),
+                  seed=3)
+        m.compile("adam",
+                  loss=wrap_yolo_loss_v2((2, 2), 1, 1, anchors),
+                  learning_rate=1e-3)
+        return m
+
+    ref = make()
+    ref.fit(x, y, epochs=4, batch_size=2, seed=11, verbose=0)
+
+    ck = str(tmp_path / "ck")
+    m1 = make()
+    m1.fit(x, y, epochs=2, batch_size=2, seed=11, verbose=0,
+           checkpoint_dir=ck, checkpoint_every=1)
+    # "fresh process": a new Model resumes to the TOTAL epoch target
+    m2 = make()
+    hist = m2.fit(x, y, epochs=4, batch_size=2, seed=11, verbose=0,
+                  checkpoint_dir=ck, checkpoint_every=1, resume=True)
+    assert len(hist["loss"]) == 2       # only the remaining epochs ran
+    for a, b in zip(jax.tree_util.tree_leaves(ref.params),
+                    jax.tree_util.tree_leaves(m2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    m3 = make()
+    hist3 = m3.fit(x, y, epochs=4, batch_size=2, seed=11, verbose=0,
+                   checkpoint_dir=ck, checkpoint_every=1, resume=True)
+    assert hist3["loss"] == []          # already complete: no-op
+
+    with pytest.raises(ValueError):
+        make().fit(x, y, epochs=1, verbose=0, resume=True)
+
+
 def test_checkpoint_tp_sharded_state(tmp_path):
     """Orbax round-trip of a TENSOR-PARALLEL-sharded TrainState: save
     from a (data=4, model=2) mesh with channel-sharded leaves, restore

@@ -332,7 +332,7 @@ class Model:
     def fit(self, x, y=None, epochs=1, batch_size=20, shuffle=True,
             seed=None, verbose=1, validation_data=None,
             profile_dir=None, checkpoint_dir=None,
-            checkpoint_every=None, callbacks=None):
+            checkpoint_every=None, resume=False, callbacks=None):
         """Train. ``x`` is an ndarray (with ``y`` labels, list for
         multi-output models) or a sequence yielding (img, labels).
 
@@ -342,6 +342,17 @@ class Model:
                 Perfetto) — the SURVEY §5 tracing hook.
             checkpoint_dir/checkpoint_every: save full training state
                 (params + optimizer + step) every N epochs via Orbax.
+            resume: if True, restore the latest checkpoint under
+                ``checkpoint_dir`` (params + optimizer + step) before
+                training and skip the epochs it already covers —
+                ``epochs`` is the TOTAL target, so re-running the same
+                fit() after a preemption continues where it left off
+                (and reproduces the uninterrupted run exactly when
+                ``seed`` is set: the shuffle RNG is fast-forwarded past
+                the skipped epochs). No checkpoint yet means a fresh
+                start, so ``resume=True`` is safe to always pass. The
+                reference has no resume semantics at all (SURVEY §5
+                checkpoint row); this is the elastic-recovery hook.
             callbacks: keras-style callback objects; recognized hooks
                 are ``on_epoch_begin(epoch, model)``,
                 ``on_epoch_end(epoch, logs, model)`` and
@@ -365,12 +376,46 @@ class Model:
         # batch size may differ from the batch_size argument), cached
         # per data-axis size in self._mesh_cache via _shard_for
 
+        is_sequence = (hasattr(x, "__getitem__") and y is None
+                       and not isinstance(x, np.ndarray))
+        initial_epoch = 0
+        if resume:
+            if checkpoint_dir is None:
+                raise ValueError("resume=True requires checkpoint_dir")
+            from .parallel.checkpoint import (latest_checkpoint,
+                                              restore_checkpoint)
+            latest = latest_checkpoint(checkpoint_dir)
+            if latest is not None:
+                self._state = restore_checkpoint(latest, self._state)
+                self._state_mesh = None
+                if is_sequence:
+                    steps_per_epoch = len(x)
+                else:
+                    n_rows = np.asarray(x).shape[0]
+                    steps_per_epoch = -(-n_rows // batch_size)
+                initial_epoch = min(
+                    int(self._state.step) // steps_per_epoch, epochs)
+                if shuffle and not is_sequence:
+                    # consume the RNG stream of the skipped epochs so
+                    # the resumed batch order matches the uninterrupted
+                    # run (shuffle draws depend only on n_rows)
+                    idx_ff = np.arange(n_rows)
+                    for _ in range(initial_epoch):
+                        rng.shuffle(idx_ff)
+                if verbose and initial_epoch >= epochs:
+                    print(f"Resuming from {latest}: already trained to "
+                          f"the {epochs}-epoch target, nothing to do")
+                elif verbose:
+                    print(f"Resuming from {latest} "
+                          f"(step {int(self._state.step)}, "
+                          f"epoch {initial_epoch + 1}/{epochs})")
+
         history = {"loss": []}
         profiling = False
         if profile_dir is not None:
             jax.profiler.start_trace(profile_dir)
             profiling = True
-        for epoch in range(epochs):
+        for epoch in range(initial_epoch, epochs):
             t0 = time.time()
             for cb in callbacks:
                 if hasattr(cb, "on_epoch_begin"):
