@@ -113,6 +113,70 @@ def test_fit_resume_preemption(tmp_path):
         make().fit(x, y, epochs=1, verbose=0, resume=True)
 
 
+def test_fit_sigterm_checkpoint_and_midepoch_resume(tmp_path):
+    """checkpoint_on_interrupt: a SIGTERM mid-epoch finishes the
+    current step, checkpoints, and returns; fit(resume=True) then
+    skips the already-trained batches of the partial epoch so the
+    optimizer trajectory exactly matches the uninterrupted run
+    (batch-granular resume). Handlers must be restored after fit()."""
+    import os
+    import signal
+    import jax
+    import numpy as np
+    from tf2_yolo_tpu.engine import Model
+    from tf2_yolo_tpu.models import YoloV2
+    from tf2_yolo_tpu.ops import wrap_yolo_loss_v2
+
+    anchors = [[0.3, 0.3]]
+    x = np.random.RandomState(0).rand(4, 64, 64, 3).astype(np.float32)
+    y = np.zeros((4, 2, 2, 6), np.float32)
+    y[:, 0, 0] = [0.5, 0.5, 0.3, 0.3, 1, 1]
+
+    def make():
+        m = Model(YoloV2(anchors=anchors, class_num=1), (64, 64, 3),
+                  seed=3)
+        m.compile("adam",
+                  loss=wrap_yolo_loss_v2((2, 2), 1, 1, anchors),
+                  learning_rate=1e-3)
+        return m
+
+    ref = make()
+    ref.fit(x, y, epochs=3, batch_size=2, seed=11, verbose=0)
+
+    class KillAtStep:
+        def __init__(self, at):
+            self.seen = 0
+            self.at = at
+
+        def on_train_batch_end(self, batch, logs, model):
+            self.seen += 1
+            if self.seen == self.at:    # deliver a real SIGTERM
+                os.kill(os.getpid(), signal.SIGTERM)
+
+    prev = signal.getsignal(signal.SIGTERM)
+    ck = str(tmp_path / "ck")
+    m1 = make()
+    # 2 steps/epoch; kill after the 3rd step = mid-epoch-2
+    hist = m1.fit(x, y, epochs=3, batch_size=2, seed=11, verbose=0,
+                  checkpoint_dir=ck, checkpoint_on_interrupt=True,
+                  callbacks=[KillAtStep(3)])
+    assert signal.getsignal(signal.SIGTERM) is prev  # restored
+    assert len(hist["loss"]) == 1       # only the completed epoch
+    assert int(m1._state.step) == 3     # stopped right after step 3
+
+    m2 = make()
+    m2.fit(x, y, epochs=3, batch_size=2, seed=11, verbose=0,
+           checkpoint_dir=ck, resume=True)
+    assert int(m2._state.step) == 6
+    for a, b in zip(jax.tree_util.tree_leaves(ref.params),
+                    jax.tree_util.tree_leaves(m2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    with pytest.raises(ValueError):
+        make().fit(x, y, epochs=1, verbose=0,
+                   checkpoint_on_interrupt=True)
+
+
 def test_checkpoint_tp_sharded_state(tmp_path):
     """Orbax round-trip of a TENSOR-PARALLEL-sharded TrainState: save
     from a (data=4, model=2) mesh with channel-sharded leaves, restore

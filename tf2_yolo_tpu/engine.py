@@ -332,7 +332,8 @@ class Model:
     def fit(self, x, y=None, epochs=1, batch_size=20, shuffle=True,
             seed=None, verbose=1, validation_data=None,
             profile_dir=None, checkpoint_dir=None,
-            checkpoint_every=None, resume=False, callbacks=None):
+            checkpoint_every=None, resume=False,
+            checkpoint_on_interrupt=False, callbacks=None):
         """Train. ``x`` is an ndarray (with ``y`` labels, list for
         multi-output models) or a sequence yielding (img, labels).
 
@@ -353,6 +354,18 @@ class Model:
                 start, so ``resume=True`` is safe to always pass. The
                 reference has no resume semantics at all (SURVEY §5
                 checkpoint row); this is the elastic-recovery hook.
+                Resume is BATCH-granular: a checkpoint taken mid-epoch
+                (see ``checkpoint_on_interrupt``) fast-forwards the
+                shuffle RNG to that epoch and skips the already-trained
+                batches, so the optimizer trajectory continues exactly
+                where it stopped.
+            checkpoint_on_interrupt: if True (requires
+                ``checkpoint_dir``), install SIGTERM/SIGINT handlers
+                for the duration of fit(); on delivery the current
+                train step finishes, the full state is checkpointed,
+                and fit() returns cleanly — the TPU-preemption survival
+                hook (cloud TPUs deliver SIGTERM ahead of eviction).
+                Pair with ``resume=True`` on restart.
             callbacks: keras-style callback objects; recognized hooks
                 are ``on_epoch_begin(epoch, model)``,
                 ``on_epoch_end(epoch, logs, model)`` and
@@ -379,6 +392,7 @@ class Model:
         is_sequence = (hasattr(x, "__getitem__") and y is None
                        and not isinstance(x, np.ndarray))
         initial_epoch = 0
+        skip_batches = 0
         if resume:
             if checkpoint_dir is None:
                 raise ValueError("resume=True requires checkpoint_dir")
@@ -395,6 +409,11 @@ class Model:
                     steps_per_epoch = -(-n_rows // batch_size)
                 initial_epoch = min(
                     int(self._state.step) // steps_per_epoch, epochs)
+                # mid-epoch checkpoint (checkpoint_on_interrupt):
+                # replay the epoch's batch order but skip the batches
+                # the optimizer already saw
+                if initial_epoch < epochs:
+                    skip_batches = int(self._state.step) % steps_per_epoch
                 if shuffle and not is_sequence:
                     # consume the RNG stream of the skipped epochs so
                     # the resumed batch order matches the uninterrupted
@@ -410,76 +429,117 @@ class Model:
                           f"(step {int(self._state.step)}, "
                           f"epoch {initial_epoch + 1}/{epochs})")
 
+        self._interrupted = False
+        _sig_prev = []
+        if checkpoint_on_interrupt:
+            if checkpoint_dir is None:
+                raise ValueError(
+                    "checkpoint_on_interrupt=True requires checkpoint_dir")
+            import signal as _signal
+
+            def _on_signal(signum, frame):
+                self._interrupted = True
+
+            for _sig in (_signal.SIGTERM, _signal.SIGINT):
+                try:
+                    _sig_prev.append(
+                        (_signal, _sig, _signal.signal(_sig, _on_signal)))
+                except ValueError:  # fit() called off the main thread
+                    break
+
         history = {"loss": []}
         profiling = False
         if profile_dir is not None:
             jax.profiler.start_trace(profile_dir)
             profiling = True
-        for epoch in range(initial_epoch, epochs):
-            t0 = time.time()
-            for cb in callbacks:
-                if hasattr(cb, "on_epoch_begin"):
-                    cb.on_epoch_begin(epoch, self)
-            logs_acc = []       # device scalars; host sync at epoch end
-            if hasattr(x, "__getitem__") and y is None \
-                    and not isinstance(x, np.ndarray):
-                iterator = (x.as_iterator() if hasattr(x, "as_iterator")
-                            else (x[i] for i in range(len(x))))
-            else:
-                iterator = self._batches(np.asarray(x), y, batch_size,
-                                         shuffle, rng)
-            for batch_i, (xb, yb) in enumerate(iterator):
-                xb = jnp.asarray(xb, jnp.float32)
-                yb_t = tuple(jnp.asarray(v, jnp.float32) for v in yb) \
-                    if isinstance(yb, (list, tuple)) \
-                    else (jnp.asarray(yb, jnp.float32),)
-                shard = self._shard_for(xb.shape[0])
-                xb = jax.device_put(xb, shard)
-                yb_t = tuple(jax.device_put(v, shard) for v in yb_t)
-                self._state, logs = self._train_step(
-                    self._state, xb, yb_t)
-                logs_acc.append(logs)
+        try:
+            for epoch in range(initial_epoch, epochs):
+                t0 = time.time()
                 for cb in callbacks:
-                    if hasattr(cb, "on_train_batch_end"):
-                        cb.on_train_batch_end(batch_i, logs, self)
+                    if hasattr(cb, "on_epoch_begin"):
+                        cb.on_epoch_begin(epoch, self)
+                logs_acc = []   # device scalars; host sync at epoch end
+                if hasattr(x, "__getitem__") and y is None \
+                        and not isinstance(x, np.ndarray):
+                    iterator = (x.as_iterator()
+                                if hasattr(x, "as_iterator")
+                                else (x[i] for i in range(len(x))))
+                else:
+                    iterator = self._batches(np.asarray(x), y,
+                                             batch_size, shuffle, rng)
+                for batch_i, (xb, yb) in enumerate(iterator):
+                    if skip_batches:    # mid-epoch resume: replay the
+                        skip_batches -= 1   # order, skip trained steps
+                        continue
+                    xb = jnp.asarray(xb, jnp.float32)
+                    yb_t = tuple(jnp.asarray(v, jnp.float32)
+                                 for v in yb) \
+                        if isinstance(yb, (list, tuple)) \
+                        else (jnp.asarray(yb, jnp.float32),)
+                    shard = self._shard_for(xb.shape[0])
+                    xb = jax.device_put(xb, shard)
+                    yb_t = tuple(jax.device_put(v, shard) for v in yb_t)
+                    self._state, logs = self._train_step(
+                        self._state, xb, yb_t)
+                    logs_acc.append(logs)
+                    for cb in callbacks:
+                        if hasattr(cb, "on_train_batch_end"):
+                            cb.on_train_batch_end(batch_i, logs, self)
+                    if self._interrupted:
+                        break
 
-            steps = len(logs_acc)
-            logs_sum = {}
-            for logs in logs_acc:   # epoch-end host sync
-                for k, v in logs.items():
-                    logs_sum[k] = logs_sum.get(k, 0.0) + float(v)
-            means = {k: v / max(steps, 1) for k, v in logs_sum.items()}
-            if validation_data is not None:
-                if isinstance(validation_data, (tuple, list)):
-                    val_logs = self.evaluate(*validation_data,
-                                             batch_size=batch_size,
-                                             verbose=0)
-                else:                   # a sequence of (img, labels)
-                    val_logs = self.evaluate(validation_data,
-                                             batch_size=batch_size,
-                                             verbose=0)
-                means.update({f"val_{k}": v for k, v in val_logs.items()})
-            for k, v in means.items():
-                history.setdefault(k, []).append(v)
-            history.setdefault("epoch_time", []).append(
-                time.time() - t0)
-            if verbose:
-                stats = " - ".join(f"{k}: {v:.4f}"
-                                   for k, v in means.items())
-                print(f"Epoch {epoch + 1}/{epochs} - "
-                      f"{time.time() - t0:.1f}s - {stats}")
-            if profiling:
-                jax.profiler.stop_trace()
-                profiling = False
-            if (checkpoint_dir is not None and checkpoint_every
-                    and (epoch + 1) % checkpoint_every == 0):
-                from .parallel.checkpoint import save_checkpoint
-                save_checkpoint(checkpoint_dir, self._state)
-            for cb in callbacks:
-                if hasattr(cb, "on_epoch_end"):
-                    cb.on_epoch_end(epoch, dict(means), self)
-            if self.stop_training:
-                break
+                if self._interrupted:
+                    from .parallel.checkpoint import save_checkpoint
+                    ckpt = save_checkpoint(checkpoint_dir, self._state)
+                    if verbose:
+                        print(f"Interrupted at step "
+                              f"{int(self._state.step)} — state saved "
+                              f"to {ckpt}; re-run with resume=True to "
+                              f"continue")
+                    break
+
+                steps = len(logs_acc)
+                logs_sum = {}
+                for logs in logs_acc:   # epoch-end host sync
+                    for k, v in logs.items():
+                        logs_sum[k] = logs_sum.get(k, 0.0) + float(v)
+                means = {k: v / max(steps, 1)
+                         for k, v in logs_sum.items()}
+                if validation_data is not None:
+                    if isinstance(validation_data, (tuple, list)):
+                        val_logs = self.evaluate(*validation_data,
+                                                 batch_size=batch_size,
+                                                 verbose=0)
+                    else:               # a sequence of (img, labels)
+                        val_logs = self.evaluate(validation_data,
+                                                 batch_size=batch_size,
+                                                 verbose=0)
+                    means.update({f"val_{k}": v
+                                  for k, v in val_logs.items()})
+                for k, v in means.items():
+                    history.setdefault(k, []).append(v)
+                history.setdefault("epoch_time", []).append(
+                    time.time() - t0)
+                if verbose:
+                    stats = " - ".join(f"{k}: {v:.4f}"
+                                       for k, v in means.items())
+                    print(f"Epoch {epoch + 1}/{epochs} - "
+                          f"{time.time() - t0:.1f}s - {stats}")
+                if profiling:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                if (checkpoint_dir is not None and checkpoint_every
+                        and (epoch + 1) % checkpoint_every == 0):
+                    from .parallel.checkpoint import save_checkpoint
+                    save_checkpoint(checkpoint_dir, self._state)
+                for cb in callbacks:
+                    if hasattr(cb, "on_epoch_end"):
+                        cb.on_epoch_end(epoch, dict(means), self)
+                if self.stop_training:
+                    break
+        finally:
+            for _mod, _sig, _h in _sig_prev:
+                _mod.signal(_sig, _h)
 
         if profiling:
             jax.profiler.stop_trace()
