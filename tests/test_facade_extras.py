@@ -296,3 +296,111 @@ def test_validation_data_sequence(dataset_v2_seq=None):
     assert "loss" in logs
     np.testing.assert_allclose(hist["val_loss"][0], logs["loss"],
                                rtol=1e-5)
+
+
+def test_lr_multiplier_scales_updates_exactly():
+    """Model.lr_multiplier rewrites the optimizer's mutable LR-scale
+    state: at 0.0 a train step leaves params bit-identical (updates
+    are exactly zeroed), restored to 1.0 the same step trains."""
+    import jax
+    import numpy as np
+    from tf2_yolo_tpu.engine import Model
+    from tf2_yolo_tpu.models import YoloV2
+    from tf2_yolo_tpu.ops import wrap_yolo_loss_v2
+
+    anchors = [[0.3, 0.3]]
+    model = Model(YoloV2(anchors=anchors, class_num=1), (64, 64, 3))
+    model.compile("adam", loss=wrap_yolo_loss_v2((2, 2), 1, 1, anchors),
+                  learning_rate=1e-2)
+    x = np.random.RandomState(0).rand(4, 64, 64, 3).astype(np.float32)
+    y = np.zeros((4, 2, 2, 6), np.float32)
+    y[:, 0, 0] = [0.5, 0.5, 0.3, 0.3, 1, 1]
+
+    assert model.lr_multiplier == 1.0
+    model.lr_multiplier = 0.0
+    before = jax.device_get(model.params)
+    model.fit(x, y, epochs=1, batch_size=4, verbose=0)
+    after = jax.device_get(model.params)
+    for a, b in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(a, b)
+
+    model.lr_multiplier = 1.0
+    model.fit(x, y, epochs=1, batch_size=4, verbose=0)
+    moved = any(
+        not np.array_equal(a, b)
+        for a, b in zip(jax.tree_util.tree_leaves(before),
+                        jax.tree_util.tree_leaves(
+                            jax.device_get(model.params))))
+    assert moved
+
+
+def test_reduce_lr_on_plateau():
+    """A flat loss (lr=0, shuffle=False) triggers one reduction per
+    epoch after the first at patience=1: 1.0 -> 0.5 -> 0.25 -> 0.125."""
+    import numpy as np
+    from tf2_yolo_tpu import ReduceLROnPlateau
+    from tf2_yolo_tpu.engine import Model
+    from tf2_yolo_tpu.models import YoloV2
+    from tf2_yolo_tpu.ops import wrap_yolo_loss_v2
+
+    anchors = [[0.3, 0.3]]
+    model = Model(YoloV2(anchors=anchors, class_num=1), (64, 64, 3))
+    model.compile("sgd", loss=wrap_yolo_loss_v2((2, 2), 1, 1, anchors),
+                  learning_rate=0.0)
+    x = np.random.RandomState(0).rand(4, 64, 64, 3).astype(np.float32)
+    y = np.zeros((4, 2, 2, 6), np.float32)
+    y[:, 0, 0] = [0.5, 0.5, 0.3, 0.3, 1, 1]
+
+    cb = ReduceLROnPlateau(patience=1, factor=0.5, min_delta=1e-3)
+    model.fit(x, y, epochs=4, batch_size=4, verbose=0, shuffle=False,
+              callbacks=[cb])
+    assert abs(model.lr_multiplier - 0.125) < 1e-7
+
+    # cooldown: keras decrements the counter and then re-checks it, so
+    # cooldown=2 is what absorbs exactly one post-reduction epoch
+    # (cooldown=1 hits zero before the re-check and absorbs nothing)
+    model2 = Model(YoloV2(anchors=anchors, class_num=1), (64, 64, 3))
+    model2.compile("sgd", loss=wrap_yolo_loss_v2((2, 2), 1, 1, anchors),
+                   learning_rate=0.0)
+    cb2 = ReduceLROnPlateau(patience=1, factor=0.5, min_delta=1e-3,
+                            cooldown=2)
+    model2.fit(x, y, epochs=4, batch_size=4, verbose=0, shuffle=False,
+               callbacks=[cb2])
+    # e1 best, e2 reduce (0.5), e3 cooldown, e4 reduce (0.25)
+    assert abs(model2.lr_multiplier - 0.25) < 1e-7
+
+
+def test_terminate_on_nan():
+    """NaN inputs produce a NaN loss; TerminateOnNaN stops training
+    after the first epoch (default) or the first batch (on_batch)."""
+    import numpy as np
+    from tf2_yolo_tpu import TerminateOnNaN
+    from tf2_yolo_tpu.engine import Model
+    from tf2_yolo_tpu.models import YoloV2
+    from tf2_yolo_tpu.ops import wrap_yolo_loss_v2
+
+    anchors = [[0.3, 0.3]]
+    x = np.full((4, 64, 64, 3), np.nan, np.float32)
+    y = np.zeros((4, 2, 2, 6), np.float32)
+    y[:, 0, 0] = [0.5, 0.5, 0.3, 0.3, 1, 1]
+
+    model = Model(YoloV2(anchors=anchors, class_num=1), (64, 64, 3))
+    model.compile("adam", loss=wrap_yolo_loss_v2((2, 2), 1, 1, anchors),
+                  learning_rate=1e-3)
+    hist = model.fit(x, y, epochs=5, batch_size=4, verbose=0,
+                     callbacks=[TerminateOnNaN()])
+    assert len(hist["loss"]) == 1 and not np.isfinite(hist["loss"][0])
+
+    batches = []
+
+    class BatchCounter:
+        def on_train_batch_end(self, batch, logs, model):
+            batches.append(batch)
+
+    model2 = Model(YoloV2(anchors=anchors, class_num=1), (64, 64, 3))
+    model2.compile("adam", loss=wrap_yolo_loss_v2((2, 2), 1, 1, anchors),
+                   learning_rate=1e-3)
+    model2.fit(x, y, epochs=5, batch_size=2, verbose=0,  # 2 steps/epoch
+               callbacks=[BatchCounter(), TerminateOnNaN(on_batch=True)])
+    assert batches == [0]      # stopped mid-epoch after the first batch

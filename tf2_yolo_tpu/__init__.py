@@ -33,11 +33,13 @@ from . import yolov3
 from . import yolov4
 from . import assets
 from . import export
-from .engine import Model, EarlyStopping, ModelCheckpoint
+from .engine import (Model, EarlyStopping, ModelCheckpoint,
+                     ReduceLROnPlateau, TerminateOnNaN)
 from .config import YoloConfig, LossConfig, NmsConfig, TrainConfig
 
 __all__ = ["ops", "utils", "data", "models", "parallel", "assets",
            "export", "yolov1_5", "yolov2", "yolov3", "yolov4", "Model",
            "EarlyStopping", "ModelCheckpoint",
+           "ReduceLROnPlateau", "TerminateOnNaN",
            "YoloConfig", "LossConfig", "NmsConfig", "TrainConfig",
            "__version__"]

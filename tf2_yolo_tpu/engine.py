@@ -118,6 +118,96 @@ class ModelCheckpoint:
         model.save_weights(self.path.format(epoch=epoch + 1))
 
 
+class ReduceLROnPlateau:
+    """Shrink the learning rate when a monitored quantity plateaus
+    (tf.keras ReduceLROnPlateau semantics). Works by scaling the
+    optimizer's mutable LR multiplier (``Model.lr_multiplier``) — no
+    recompile, optimizer moments preserved.
+
+    Args:
+        monitor: history key to watch.
+        factor: multiplier applied on plateau (< 1).
+        patience: epochs without improvement before reducing.
+        min_delta: minimum change counting as improvement.
+        mode: "min", "max", or "auto" (see EarlyStopping).
+        min_mult: floor for the cumulative multiplier.
+        cooldown: epochs to wait after a reduction before counting
+            non-improvements again.
+    """
+
+    def __init__(self, monitor="loss", factor=0.5, patience=3,
+                 min_delta=0.0, mode="auto", min_mult=1e-4,
+                 cooldown=0, verbose=0):
+        if not 0.0 < factor < 1.0:
+            raise ValueError(f"factor must be in (0, 1), got {factor}")
+        self.monitor = monitor
+        self.factor = factor
+        self.patience = patience
+        self.min_delta = abs(min_delta)
+        self.mode = _resolve_mode(mode, monitor)
+        self.min_mult = min_mult
+        self.cooldown = cooldown
+        self.verbose = verbose
+        self.best = float("inf") if self.mode == "min" else float("-inf")
+        self.wait = 0
+        self.cooldown_left = 0
+
+    def _improved(self, value):
+        if self.mode == "min":
+            return value < self.best - self.min_delta
+        return value > self.best + self.min_delta
+
+    def on_epoch_end(self, epoch, logs, model):
+        value = logs.get(self.monitor)
+        if value is None:
+            return
+        if self.cooldown_left > 0:
+            self.cooldown_left -= 1
+            self.wait = 0
+        if self._improved(value):
+            self.best = value
+            self.wait = 0
+            return
+        if self.cooldown_left > 0:
+            return
+        self.wait += 1
+        if self.wait >= self.patience:
+            old = model.lr_multiplier
+            new = max(old * self.factor, self.min_mult)
+            if new < old:
+                model.lr_multiplier = new
+                if self.verbose:
+                    print(f"Epoch {epoch + 1}: ReduceLROnPlateau "
+                          f"lr multiplier {old:.2e} -> {new:.2e}")
+            self.wait = 0
+            self.cooldown_left = self.cooldown
+
+
+class TerminateOnNaN:
+    """Stop training when the loss goes NaN/Inf (tf.keras
+    TerminateOnNaN). By default checks the epoch-mean loss (free — the
+    engine already syncs it); ``on_batch=True`` checks every train
+    batch like keras does, at the cost of one host sync per step
+    (breaks dispatch pipelining — only use while debugging)."""
+
+    def __init__(self, on_batch=False):
+        self.on_batch = on_batch
+
+    def _fail(self, where, model):
+        print(f"TerminateOnNaN: non-finite loss at {where}; "
+              f"stopping training")
+        model.stop_training = True
+
+    def on_train_batch_end(self, batch, logs, model):
+        if self.on_batch and not np.isfinite(float(logs["loss"])):
+            self._fail(f"batch {batch}", model)
+
+    def on_epoch_end(self, epoch, logs, model):
+        value = logs.get("loss")
+        if value is not None and not np.isfinite(value):
+            self._fail(f"epoch {epoch + 1}", model)
+
+
 class Model:
     """A trainable model: flax module + variables + compile/fit/predict.
 
@@ -178,6 +268,27 @@ class Model:
         self.variables = variables
         self._state = None
         self._predict_jit = None
+
+    @property
+    def lr_multiplier(self):
+        """Mutable learning-rate multiplier (initially 1.0) applied on
+        top of the compiled optimizer's learning rate. Setting it takes
+        effect on the NEXT train step without recompiling and without
+        resetting optimizer moments — the hook ReduceLROnPlateau uses.
+        """
+        from .parallel.train import get_lr_multiplier
+        self._ensure_state()
+        return float(get_lr_multiplier(self._state.opt_state))
+
+    @lr_multiplier.setter
+    def lr_multiplier(self, value):
+        from .parallel.train import set_lr_multiplier
+        self._ensure_state()
+        self._state = self._state._replace(
+            opt_state=set_lr_multiplier(self._state.opt_state, value))
+        # the new scalar is host-built: re-place the state on its mesh
+        # before the next step so jit sees consistent shardings
+        self._state_mesh = None
 
     @property
     def batch_stats(self):
@@ -485,7 +596,7 @@ class Model:
                     for cb in callbacks:
                         if hasattr(cb, "on_train_batch_end"):
                             cb.on_train_batch_end(batch_i, logs, self)
-                    if self._interrupted:
+                    if self._interrupted or self.stop_training:
                         break
 
                 if self._interrupted:

@@ -107,6 +107,63 @@ def make_eval_step(apply_fn: Callable,
     return eval_step
 
 
+class LRScaleState(NamedTuple):
+    """State of the mutable learning-rate multiplier appended to every
+    optimizer by :func:`make_optimizer` (see :func:`set_lr_multiplier`).
+    """
+    mult: jnp.ndarray
+
+
+def _lr_scale() -> optax.GradientTransformation:
+    """Final-position transform scaling updates by a state-held
+    multiplier (initially 1). Because the multiplier lives in the
+    optimizer STATE, callbacks can change the effective learning rate
+    mid-training (keras ReduceLROnPlateau semantics) without
+    recompiling the train step or resetting Adam/RMSProp moments —
+    the reference gets this for free from tf.keras's mutable
+    ``optimizer.lr`` variable; this is the jit-compatible equivalent."""
+
+    def init_fn(params):
+        del params
+        return LRScaleState(mult=jnp.ones((), jnp.float32))
+
+    def update_fn(updates, state, params=None):
+        del params
+        scaled = jax.tree_util.tree_map(
+            lambda g: g * state.mult.astype(g.dtype), updates)
+        return scaled, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _is_lr_scale(node):
+    return isinstance(node, LRScaleState)
+
+
+def get_lr_multiplier(opt_state):
+    """Read the mutable learning-rate multiplier (1.0 if the optimizer
+    was built without one, e.g. a user-supplied raw optax transform
+    passed straight to the train step)."""
+    for node in jax.tree_util.tree_leaves(
+            opt_state, is_leaf=_is_lr_scale):
+        if _is_lr_scale(node):
+            return node.mult
+    return jnp.ones((), jnp.float32)
+
+
+def set_lr_multiplier(opt_state, value):
+    """Return ``opt_state`` with the learning-rate multiplier replaced
+    (same tree structure — safe to feed back into the compiled step)."""
+    value = jnp.asarray(value, jnp.float32)
+
+    def repl(node):
+        if _is_lr_scale(node):
+            return LRScaleState(mult=value)
+        return node
+
+    return jax.tree_util.tree_map(repl, opt_state, is_leaf=_is_lr_scale)
+
+
 def make_optimizer(optimizer="adam", learning_rate=1e-4,
                    frozen: Optional[Callable] = None,
                    accumulate_steps: int = 1,
@@ -151,4 +208,7 @@ def make_optimizer(optimizer="adam", learning_rate=1e-4,
             {"train": tx, "frozen": optax.set_to_zero()}, label_fn)
     if accumulate_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
-    return tx
+    # mutable LR multiplier, outermost so it scales what actually
+    # reaches the parameters (MultiSteps emits zeros between applies —
+    # scaling zeros is exact)
+    return optax.chain(tx, _lr_scale())
