@@ -404,3 +404,82 @@ def test_terminate_on_nan():
     model2.fit(x, y, epochs=5, batch_size=2, verbose=0,  # 2 steps/epoch
                callbacks=[BatchCounter(), TerminateOnNaN(on_batch=True)])
     assert batches == [0]      # stopped mid-epoch after the first batch
+
+
+def test_learning_rate_scheduler():
+    """schedule(epoch) sets an ABSOLUTE lr each epoch start: with
+    base lr 1e-2 and schedule 1e-2 * 0.1**epoch the multiplier reads
+    1, 0.1, 0.01 across 3 epochs. Two-arg schedules get (epoch, lr)."""
+    import numpy as np
+    from tf2_yolo_tpu import LearningRateScheduler
+    from tf2_yolo_tpu.engine import Model
+    from tf2_yolo_tpu.models import YoloV2
+    from tf2_yolo_tpu.ops import wrap_yolo_loss_v2
+
+    anchors = [[0.3, 0.3]]
+    model = Model(YoloV2(anchors=anchors, class_num=1), (64, 64, 3))
+    model.compile("sgd", loss=wrap_yolo_loss_v2((2, 2), 1, 1, anchors),
+                  learning_rate=1e-2)
+    x = np.random.RandomState(0).rand(4, 64, 64, 3).astype(np.float32)
+    y = np.zeros((4, 2, 2, 6), np.float32)
+    y[:, 0, 0] = [0.5, 0.5, 0.3, 0.3, 1, 1]
+
+    seen = []
+
+    class Spy:
+        def on_train_batch_end(self, batch, logs, model):
+            seen.append(model.lr_multiplier)
+
+    cb = LearningRateScheduler(lambda e: 1e-2 * 0.1 ** e)
+    model.fit(x, y, epochs=3, batch_size=4, verbose=0, shuffle=False,
+              callbacks=[cb, Spy()])
+    np.testing.assert_allclose(seen, [1.0, 0.1, 0.01], rtol=1e-6)
+
+    # two-arg form receives the CURRENT rate (base * multiplier)
+    got_lrs = []
+
+    def sched(epoch, lr):
+        got_lrs.append(lr)
+        return lr * 0.5
+
+    model2 = Model(YoloV2(anchors=anchors, class_num=1), (64, 64, 3))
+    model2.compile("sgd", loss=wrap_yolo_loss_v2((2, 2), 1, 1, anchors),
+                   learning_rate=1e-2)
+    model2.fit(x, y, epochs=2, batch_size=4, verbose=0, shuffle=False,
+               callbacks=[LearningRateScheduler(sched)])
+    np.testing.assert_allclose(got_lrs, [1e-2, 5e-3], rtol=1e-6)
+    assert abs(model2.lr_multiplier - 0.25) < 1e-7
+
+
+def test_csv_logger(tmp_path):
+    """One row per epoch, epoch-first header, loss round-trips; append
+    mode keeps prior rows."""
+    import numpy as np
+    from tf2_yolo_tpu import CSVLogger
+    from tf2_yolo_tpu.engine import Model
+    from tf2_yolo_tpu.models import YoloV2
+    from tf2_yolo_tpu.ops import wrap_yolo_loss_v2, wrap_obj_acc
+
+    anchors = [[0.3, 0.3]]
+    model = Model(YoloV2(anchors=anchors, class_num=1), (64, 64, 3))
+    model.compile("sgd", loss=wrap_yolo_loss_v2((2, 2), 1, 1, anchors),
+                  metrics=[wrap_obj_acc((2, 2), 1, 1)],
+                  learning_rate=0.0)
+    x = np.random.RandomState(0).rand(4, 64, 64, 3).astype(np.float32)
+    y = np.zeros((4, 2, 2, 6), np.float32)
+    y[:, 0, 0] = [0.5, 0.5, 0.3, 0.3, 1, 1]
+
+    path = tmp_path / "log.csv"
+    hist = model.fit(x, y, epochs=2, batch_size=4, verbose=0,
+                     shuffle=False, callbacks=[CSVLogger(path)])
+    lines = path.read_text().strip().split("\n")
+    header = lines[0].split(",")
+    assert len(lines) == 3 and header[0] == "epoch"
+    assert "loss" in header and "obj_acc" in header
+    row1 = dict(zip(header, lines[1].split(",")))
+    np.testing.assert_allclose(float(row1["loss"]), hist["loss"][0],
+                               rtol=1e-6)
+
+    model.fit(x, y, epochs=1, batch_size=4, verbose=0, shuffle=False,
+              callbacks=[CSVLogger(path, append=True)])
+    assert len(path.read_text().strip().split("\n")) == 4

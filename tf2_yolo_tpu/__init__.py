@@ -34,12 +34,14 @@ from . import yolov4
 from . import assets
 from . import export
 from .engine import (Model, EarlyStopping, ModelCheckpoint,
-                     ReduceLROnPlateau, TerminateOnNaN)
+                     ReduceLROnPlateau, TerminateOnNaN,
+                     LearningRateScheduler, CSVLogger)
 from .config import YoloConfig, LossConfig, NmsConfig, TrainConfig
 
 __all__ = ["ops", "utils", "data", "models", "parallel", "assets",
            "export", "yolov1_5", "yolov2", "yolov3", "yolov4", "Model",
            "EarlyStopping", "ModelCheckpoint",
            "ReduceLROnPlateau", "TerminateOnNaN",
+           "LearningRateScheduler", "CSVLogger",
            "YoloConfig", "LossConfig", "NmsConfig", "TrainConfig",
            "__version__"]

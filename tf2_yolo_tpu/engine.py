@@ -208,6 +208,78 @@ class TerminateOnNaN:
             self._fail(f"epoch {epoch + 1}", model)
 
 
+class LearningRateScheduler:
+    """Set the learning rate from a schedule function at each epoch
+    start (tf.keras LearningRateScheduler). ``schedule`` is called as
+    ``schedule(epoch, lr)`` (or ``schedule(epoch)`` if it takes one
+    argument) and returns the new absolute learning rate; it is applied
+    by rewriting ``Model.lr_multiplier`` relative to the learning rate
+    passed to ``compile()`` — no recompile, moments preserved.
+
+    Requires a float ``learning_rate`` at compile time (with an optax
+    schedule there is no single base rate to scale)."""
+
+    def __init__(self, schedule, verbose=0):
+        self.schedule = schedule
+        self.verbose = verbose
+
+    def on_epoch_begin(self, epoch, model):
+        base = getattr(model, "_base_lr", None)
+        if base is None:
+            raise ValueError(
+                "LearningRateScheduler needs a float learning_rate at "
+                "compile time (an optax schedule already varies the "
+                "rate per step)")
+        current = base * model.lr_multiplier
+        try:
+            new_lr = self.schedule(epoch, current)
+        except TypeError:
+            new_lr = self.schedule(epoch)
+        new_lr = float(new_lr)
+        if new_lr < 0:
+            raise ValueError(f"schedule returned a negative learning "
+                             f"rate {new_lr} at epoch {epoch}")
+        model.lr_multiplier = new_lr / base
+        if self.verbose:
+            print(f"Epoch {epoch + 1}: LearningRateScheduler set "
+                  f"learning rate to {new_lr:.4e}")
+
+
+class CSVLogger:
+    """Append per-epoch history rows to a CSV file (tf.keras
+    CSVLogger). The header is written from the first epoch's log keys
+    (epoch first, then sorted); opened per epoch so an interrupted run
+    keeps every completed row.
+
+    Args:
+        path: CSV file path.
+        separator: field separator.
+        append: if False (default), truncate any existing file when
+            training starts.
+    """
+
+    def __init__(self, path, separator=",", append=False):
+        self.path = str(path)
+        self.sep = separator
+        self.append = append
+        self._keys = None
+
+    def on_epoch_end(self, epoch, logs, model):
+        import os
+        if self._keys is None:
+            self._keys = sorted(logs)
+            mode = "a" if (self.append and os.path.exists(self.path)) \
+                else "w"
+            with open(self.path, mode) as f:
+                if mode == "w" or os.path.getsize(self.path) == 0:
+                    f.write(self.sep.join(["epoch"] + self._keys) + "\n")
+        with open(self.path, "a") as f:
+            row = [str(epoch + 1)] + [
+                repr(float(logs[k])) if k in logs else ""
+                for k in self._keys]
+            f.write(self.sep.join(row) + "\n")
+
+
 class Model:
     """A trainable model: flax module + variables + compile/fit/predict.
 
@@ -369,6 +441,11 @@ class Model:
         self._tx = make_optimizer(optimizer, learning_rate, frozen,
                                   accumulate_steps=accumulate_steps,
                                   ema_decay=ema_decay)
+        # base rate for callbacks that set an ABSOLUTE lr
+        # (LearningRateScheduler); None when a schedule drives it
+        self._base_lr = (float(learning_rate)
+                         if isinstance(learning_rate, (int, float))
+                         else None)
         self._loss_fns = loss_fns
         self._metric_fns = metric_fns
         self._metric_names = metric_names
