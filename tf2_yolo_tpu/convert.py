@@ -766,3 +766,203 @@ def merge_into_variables(variables, params, batch_stats):
     merge(variables.setdefault("batch_stats", {}), batch_stats,
           "batch_stats")
     return variables
+
+
+# ---------------------------------------------------------------------
+# Reverse conversion: our variables -> reference keras h5
+# ---------------------------------------------------------------------
+# Inverse of the converters above: serialize a (possibly TPU-trained)
+# model's variables as a keras-2 h5 weight file the REFERENCE builders
+# load, so training here and deploying with the reference/TF tooling
+# roundtrips. v3/v4 use the reference's structural layer names
+# (reference yolov3/models/backbone.py:39-55 names sublayers
+# '<base>_conv'/'<base>_bn'; yolov4/models/__init__.py:38-67 names the
+# head convs 'out{i}_box{j}_{part}_conv' and the Anchor layers
+# 'out{i}_box{j}_anchor') — load with
+# ``ref_model.load_weights(path, by_name=True)``. v1/v2 use keras
+# auto-generated positional names (conv2d_N / batch_normalization_N),
+# valid for the FIRST reference model built in a fresh process (the
+# keras name counters start there), matching how the forward
+# converters read those files.
+
+def _get_in(tree, path):
+    node = tree
+    for key in path:
+        if not isinstance(node, dict) or key not in node:
+            raise KeyError("/".join(map(str, path)))
+        node = node[key]
+    return node
+
+
+def _f32(x):
+    return np.asarray(x, np.float32)
+
+
+def _emit_convbn(h5w, base, params, stats, path):
+    """Inverse of :func:`_copy_convbn`: one ConvBN module at ``path``
+    becomes reference layers '<base>_conv' (+ '<base>_bn' if present).
+    Dict insertion order IS the keras weight order."""
+    conv = _get_in(params, path + ("conv",))
+    entry = {"kernel": _f32(conv["kernel"])}
+    if "bias" in conv:
+        entry["bias"] = _f32(conv["bias"])
+    h5w[f"{base}_conv"] = entry
+    try:
+        bn = _get_in(params, path + ("bn",))
+    except KeyError:
+        return
+    st = _get_in(stats, path + ("bn",))
+    h5w[f"{base}_bn"] = {"gamma": _f32(bn["scale"]),
+                         "beta": _f32(bn["bias"]),
+                         "moving_mean": _f32(st["mean"]),
+                         "moving_variance": _f32(st["var"])}
+
+
+def _emit_split_head(h5w, head, level, abox_num, class_num,
+                     with_anchors):
+    """Inverse of :func:`_fuse_head`: slice the fused per-level head
+    conv back into the reference's per-box xy/wh/conf/prob 1x1 convs
+    (channel groups 2/2/1/C per box, box-major — the fused layout)."""
+    kernel = _f32(head["conv"]["kernel"])
+    per = 5 + class_num
+    if kernel.shape[-1] != abox_num * per:
+        raise ValueError(
+            f"head{level} has {kernel.shape[-1]} channels, expected "
+            f"{abox_num} x (5 + {class_num})")
+    bias = _f32(head["conv"].get(
+        "bias", np.zeros(kernel.shape[-1], np.float32)))
+    anchors = _f32(head["anchors"]) if with_anchors else None
+    off = 0
+    for j in range(1, abox_num + 1):
+        base = f"out{level}_box{j}"
+        for part, ch in (("xy", 2), ("wh", 2), ("conf", 1),
+                         ("prob", class_num)):
+            h5w[f"{base}_{part}_conv"] = {
+                "kernel": kernel[..., off:off + ch],
+                "bias": bias[off:off + ch]}
+            off += ch
+        if anchors is not None:
+            h5w[f"{base}_anchor"] = {
+                "Variable": anchors[j - 1].reshape(1, 1, 1, 2)}
+
+
+def export_reference_weights(variables, version, class_num,
+                             abox_num=None, bbox_num=2):
+    """Build the reference-layout weight dict {layer: {weight: arr}}
+    from a model's variables (inverse of the convert_* functions; see
+    the section comment for naming/loading semantics per version).
+
+    Only the darknet-family backbones are exportable — they are the
+    architectures whose reference builders the layer names come from
+    (csp_darknet for v4, full_darknet for v3, darknet for v1/v2).
+    """
+    if abox_num is None:
+        abox_num = {1: bbox_num, 2: 5, 3: 3, 4: 3}[version]
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    h5w = {}
+
+    if version in (3, 4):
+        mapping = (_yolov4_body_mapping() if version == 4
+                   else _yolov3_body_mapping())
+        try:
+            for path, base in mapping:
+                _emit_convbn(h5w, base, params, stats, path)
+        except KeyError as e:
+            raise ValueError(
+                f"model tree missing module {e} — only the darknet "
+                f"family (csp_darknet/full_darknet bodies) exports to "
+                f"reference layer names") from e
+        for level in range(1, 4):
+            _emit_split_head(h5w, params[f"head{level}"], level,
+                             abox_num, class_num,
+                             with_anchors=(version == 4))
+        return h5w
+
+    # v1/v2: positional conv2d_N / batch_normalization_N names in the
+    # reference's layer-creation order (the order the forward
+    # converters consume them in — parity-tested there)
+    def positional(n):
+        return (("conv2d", "batch_normalization") if n == 0
+                else (f"conv2d_{n}", f"batch_normalization_{n}"))
+
+    backbone_keys = _suffix_sorted(params["backbone"])
+    if not backbone_keys:
+        raise ValueError("positional export needs the darknet "
+                         "backbone (no ConvBN_* modules found)")
+    ordered = [("backbone", k) for k in backbone_keys]
+    if version == 2:
+        ordered += [("neck1",), ("neck2",), ("passthrough",),
+                    ("neck3",)]
+    n_conv = 0
+    for path in ordered:
+        conv_name, bn_name = positional(n_conv)
+        mod = _get_in(params, path)
+        entry = {"kernel": _f32(mod["conv"]["kernel"])}
+        if "bias" in mod["conv"]:
+            entry["bias"] = _f32(mod["conv"]["bias"])
+        h5w[conv_name] = entry
+        if "bn" in mod:
+            st = _get_in(stats, path + ("bn",))
+            h5w[bn_name] = {"gamma": _f32(mod["bn"]["scale"]),
+                            "beta": _f32(mod["bn"]["bias"]),
+                            "moving_mean": _f32(st["mean"]),
+                            "moving_variance": _f32(st["var"])}
+        n_conv += 1
+
+    head = params["head"]
+    kernel = _f32(head["conv"]["kernel"])
+    bias = _f32(head["conv"].get(
+        "bias", np.zeros(kernel.shape[-1], np.float32)))
+    if version == 1:
+        groups = [5 * bbox_num, class_num]      # xywhc conv, prob conv
+    else:
+        groups = [2, 2, 1, class_num] * abox_num
+    if kernel.shape[-1] != sum(groups):
+        raise ValueError(
+            f"head has {kernel.shape[-1]} channels, expected "
+            f"{sum(groups)}")
+    off = 0
+    for ch in groups:
+        conv_name, _ = positional(n_conv)
+        h5w[conv_name] = {"kernel": kernel[..., off:off + ch],
+                          "bias": bias[off:off + ch]}
+        off += ch
+        n_conv += 1
+    return h5w
+
+
+def save_reference_h5(h5w, path):
+    """Write a reference-layout weight dict as a keras-2 h5 weight
+    file (layer groups with `weight_names` attrs, datasets at
+    '<layer>/<layer>/<name>:0') loadable by
+    ``tf.keras Model.load_weights`` — use ``by_name=True`` for the
+    v3/v4 structural names. Dict insertion order defines the keras
+    per-layer weight order (conv: kernel, bias; bn: gamma, beta,
+    moving_mean, moving_variance; Anchor: the single Variable)."""
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        f.attrs["layer_names"] = np.array(
+            [k.encode() for k in h5w])
+        f.attrs["backend"] = b"tensorflow"
+        f.attrs["keras_version"] = b"2.15.0"
+        for layer, weights in h5w.items():
+            g = f.create_group(layer)
+            names = [f"{layer}/{w}:0" for w in weights]
+            g.attrs["weight_names"] = np.array(
+                [n.encode() for n in names])
+            for n, (_, value) in zip(names, weights.items()):
+                g.create_dataset(n, data=np.asarray(value, np.float32))
+
+
+def export_reference_h5(variables, version, class_num, path,
+                        abox_num=None, bbox_num=2):
+    """Serialize a model's variables as a reference-loadable keras h5
+    weight file (see export_reference_weights / save_reference_h5).
+
+    Returns the weight dict that was written."""
+    h5w = export_reference_weights(variables, version, class_num,
+                                   abox_num=abox_num, bbox_num=bbox_num)
+    save_reference_h5(h5w, path)
+    return h5w

@@ -217,6 +217,26 @@ class YoloBase:
             nms_sigma=nms_sigma, version=self.version, **kwargs)
 
     # ------------------------------------------------------------------
+    def export_reference_h5(self, path):
+        """Save the current weights as a keras h5 file the REFERENCE
+        builders load — the inverse of ``pretrained_weights``
+        conversion, so a model trained here deploys with the
+        reference/TF tooling. v3/v4 write the reference's structural
+        layer names (load with ``ref_model.load_weights(path,
+        by_name=True)``); v1/v2 write positional conv2d_N names valid
+        for the first reference model built in a fresh process (see
+        convert.export_reference_weights). Darknet-family backbones
+        only.
+
+        Returns the written {layer: {weight: array}} dict."""
+        if self.model is None:
+            raise ValueError("create_model() first")
+        from .convert import export_reference_h5 as _export
+        kw = ({"bbox_num": self._bbox_num} if self.version == 1
+              else {"abox_num": self._bbox_num})
+        return _export(self.model.variables, self.version,
+                       self.class_num, path, **kw)
+
     def export_model(self, path, batch_size=1, threshold=0.5,
                      nms_mode=1, nms_threshold=0.45, nms_sigma=0.5,
                      max_boxes=128, fold_bn=True, platforms=None,
