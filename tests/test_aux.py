@@ -320,3 +320,39 @@ def test_fit_profile_trace(tmp_path):
     # trace directory produced with at least one artifact
     found = [f for _, _, fs in os.walk(prof) for f in fs]
     assert found
+
+
+def test_lr_multiplier_survives_resume(tmp_path):
+    """The mutable LR multiplier lives in OPTIMIZER STATE, so a
+    ReduceLROnPlateau-shrunk rate must come back from the checkpoint:
+    resume into a fresh process continues at the reduced rate, not the
+    compiled base rate."""
+    import numpy as np
+    from tf2_yolo_tpu.engine import Model
+    from tf2_yolo_tpu.models import YoloV2
+    from tf2_yolo_tpu.ops import wrap_yolo_loss_v2
+
+    anchors = [[0.3, 0.3]]
+    x = np.random.RandomState(0).rand(4, 64, 64, 3).astype(np.float32)
+    y = np.zeros((4, 2, 2, 6), np.float32)
+    y[:, 0, 0] = [0.5, 0.5, 0.3, 0.3, 1, 1]
+
+    def make():
+        m = Model(YoloV2(anchors=anchors, class_num=1), (64, 64, 3),
+                  seed=3)
+        m.compile("adam",
+                  loss=wrap_yolo_loss_v2((2, 2), 1, 1, anchors),
+                  learning_rate=1e-3)
+        return m
+
+    ck = str(tmp_path / "ck")
+    m1 = make()
+    m1.lr_multiplier = 0.25
+    m1.fit(x, y, epochs=1, batch_size=2, seed=11, verbose=0,
+           checkpoint_dir=ck, checkpoint_every=1)
+
+    m2 = make()
+    assert m2.lr_multiplier == 1.0
+    m2.fit(x, y, epochs=2, batch_size=2, seed=11, verbose=0,
+           checkpoint_dir=ck, checkpoint_every=1, resume=True)
+    assert abs(m2.lr_multiplier - 0.25) < 1e-7
