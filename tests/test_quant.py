@@ -109,6 +109,43 @@ def test_calibrate_int8_yolov3_family():
     assert np.abs(rows_f[..., 4] - rows_q[..., 4]).max() < 0.15
 
 
+@pytest.mark.parametrize("version", [1, 2])
+def test_calibrate_int8_single_level_families(version):
+    """int8 also covers the single-output families: YOLOv1 (shared
+    softmax-class layout, reference yolov1_5/models/darknet.py:37-55)
+    and YOLOv2 (per-anchor layout + passthrough space-to-depth,
+    reference yolov2/models/darknet.py:32-106). Same calibrate ->
+    serve agreement contract as the v3/v4 cases — the quant hook
+    lives in ConvBN, which every family shares."""
+    from tf2_yolo_tpu.models import YoloV1, YoloV2
+
+    if version == 1:
+        module = YoloV1(bbox_num=2, class_num=2)
+        size = 128                       # v1 grid = input // 64
+    else:
+        anchors = np.stack([np.linspace(0.2, 0.6, 2),
+                            np.linspace(0.2, 0.5, 2)], axis=1)
+        module = YoloV2(anchors=anchors, class_num=2)
+        size = 96
+    x = jnp.asarray(rng.rand(2, size, size, 3), jnp.float32)
+    variables = fold_batch_norm(
+        module.init(jax.random.PRNGKey(4), x[:1], train=False))
+
+    quant = calibrate_int8(module, variables, [x])
+    leaves = jax.tree_util.tree_leaves(quant)
+    assert len(leaves) > 10
+    assert all(float(l) > 0 for l in leaves)
+
+    kw = dict(class_num=2, version=version, threshold=0.3,
+              max_boxes=32)
+    f32 = jax.jit(make_serving_fn(module, variables, **kw))
+    i8 = jax.jit(make_serving_fn(module, variables, quant=quant, **kw))
+    rows_f, _ = [np.asarray(a) for a in f32(x)]
+    rows_q, _ = [np.asarray(a) for a in i8(x)]
+    assert rows_f.shape == rows_q.shape
+    assert np.abs(rows_f[..., 4] - rows_q[..., 4]).max() < 0.15
+
+
 def test_int8_serving_artifact_roundtrip(tiny_v4, tmp_path):
     """save_serving(quant=...) ships the calibrated int8 program in
     the versioned container: metadata records int8 (the scales tree
