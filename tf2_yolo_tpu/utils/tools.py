@@ -456,3 +456,10 @@ def create_score_mat(*args, **kwargs):
     raise ImportError(
         "The location of this function has been changed. Import it using "
         "`from tf2_yolo_tpu.utils.measurement import create_score_mat`")
+
+
+# The reference exposes the dataset reader from utils.tools
+# (reference utils/tools.py:71 `class YoloDataSequence`); keep that
+# import path working even though the implementation lives in the
+# host data-pipeline package.
+from ..data.dataset import YoloDataSequence  # noqa: E402,F401

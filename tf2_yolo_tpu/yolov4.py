@@ -129,6 +129,21 @@ class Yolo(YoloBase):
         self.anchors = np.asarray(self.anchors, np.float32) * amp
 
     # ------------------------------------------------------------------
+    def vis_img(self, img, *label_datas, conf_threshold=0.5,
+                show_conf=True, nms_mode=0, nms_threshold=0.45,
+                nms_sigma=0.5, **kwargs):
+        """Visualize grid label(s)/prediction(s) on an image.
+
+        Identical to the base implementation except the default
+        ``nms_threshold`` is 0.45 — the v4 facade's own default
+        (reference yolov4/__init__.py:414-420), unlike v1-v3's 0.5.
+        """
+        return super().vis_img(
+            img, *label_datas, conf_threshold=conf_threshold,
+            show_conf=show_conf, nms_mode=nms_mode,
+            nms_threshold=nms_threshold, nms_sigma=nms_sigma, **kwargs)
+
+    # ------------------------------------------------------------------
     def create_model(self, anchors=None,
                      backbone="csp_darknet",
                      pretrained_weights=None,
