@@ -473,10 +473,27 @@ class Model:
         ``self._state`` onto that mesh when it changes. ONE tracker is
         shared by fit and evaluate — a validation remainder batch that
         switches meshes must be seen by the next train step too, or
-        jit receives state and batch on different device sets."""
+        jit receives state and batch on different device sets.
+
+        Multi-process runs (``parallel.distributed_initialize``; one
+        process per host on a real slice): ``n_rows`` is the rows THIS
+        process loaded, the mesh always spans the full global device
+        set (a sub-mesh would leave some process's rows unbound), and
+        the global batch ``n_rows * process_count`` must divide the
+        data axis."""
         n_model = getattr(self, "_n_model", 1)
-        d = best_data_axis(n_rows,
-                           max_devices=len(jax.devices()) // n_model)
+        if jax.process_count() > 1:
+            d = len(jax.devices()) // n_model
+            if (n_rows * jax.process_count()) % d:
+                raise ValueError(
+                    f"global batch {n_rows * jax.process_count()} "
+                    f"({n_rows} rows x {jax.process_count()} processes)"
+                    f" must divide the data axis {d}; make every "
+                    f"process's shard length a multiple of "
+                    f"{d // jax.process_count()} x batch_size")
+        else:
+            d = best_data_axis(n_rows,
+                               max_devices=len(jax.devices()) // n_model)
         key = (d, n_model)
         if key not in self._mesh_cache:
             mesh = make_mesh(n_data=d, n_model=n_model)
@@ -496,6 +513,18 @@ class Model:
                                              replicated(mesh))
             self._state_mesh = mesh
         return shard
+
+    @staticmethod
+    def _place(arr, shard):
+        """Put one batch array on the mesh. Single process: a plain
+        sharded device_put. Multi-process: ``arr`` holds only THIS
+        process's rows of the global batch (loader-sharded by
+        ``jax.process_index()``, see parallel/input.py) and is bound
+        into the global array without any cross-host data movement."""
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(
+                shard, np.asarray(arr))
+        return jax.device_put(arr, shard)
 
     def _sync_variables(self):
         """Pull trained params/batch_stats back into self.variables."""
@@ -568,8 +597,27 @@ class Model:
                 yielding ``(img, labels)`` batches (e.g. from
                 ``read_file_to_sequence``); evaluated each epoch into
                 ``val_*`` history keys.
+
+        Multi-process runs (``parallel.distributed_initialize``, one
+        process per host): every process calls fit() with its OWN
+        disjoint shard of the dataset (``parallel.process_batch_slice``
+        or ``YoloDataSequence.shard(...)``) and the
+        per-process ``batch_size``; batches are bound into global
+        arrays over the full device mesh, so the optimizer sees the
+        global batch (= batch_size x process_count) exactly as a
+        single-process run over the concatenated data would
+        (tests/test_multihost.py asserts this equality with a real
+        2-process run). All processes must pass equally many rows.
+        Orbax checkpointing is process-coordinated and not yet
+        supported here — use save_weights (replicated arrays fetch
+        identically on every host).
         """
         self._ensure_state()
+        if jax.process_count() > 1 and (checkpoint_dir is not None
+                                        or resume):
+            raise ValueError(
+                "multi-process checkpointing is not supported yet — "
+                "save_weights()/load_weights() work on every host")
         self.stop_training = False
         callbacks = list(callbacks or [])
         rng = np.random.RandomState(seed)
@@ -665,8 +713,8 @@ class Model:
                         if isinstance(yb, (list, tuple)) \
                         else (jnp.asarray(yb, jnp.float32),)
                     shard = self._shard_for(xb.shape[0])
-                    xb = jax.device_put(xb, shard)
-                    yb_t = tuple(jax.device_put(v, shard) for v in yb_t)
+                    xb = self._place(xb, shard)
+                    yb_t = tuple(self._place(v, shard) for v in yb_t)
                     self._state, logs = self._train_step(
                         self._state, xb, yb_t)
                     logs_acc.append(logs)
@@ -757,8 +805,8 @@ class Model:
                 if isinstance(yb, (list, tuple)) \
                 else (jnp.asarray(yb, jnp.float32),)
             shard = self._shard_for(xb.shape[0])
-            xb = jax.device_put(xb, shard)
-            yb_t = tuple(jax.device_put(v, shard) for v in yb_t)
+            xb = self._place(xb, shard)
+            yb_t = tuple(self._place(v, shard) for v in yb_t)
             logs = self._eval_step(self._state, xb, yb_t)
             steps += 1
             for k, v in logs.items():
@@ -793,14 +841,24 @@ class Model:
         # minutes on TPU); a single short batch pads to the next
         # multiple of the data axis instead, so e.g. 20 images on an
         # 8-chip slice run as 3 rows/chip rather than 4 on 5 chips.
+        # Multi-process: prediction is embarrassingly parallel, so
+        # each process runs its OWN rows on a mesh of its LOCAL
+        # devices (no collectives, rows stay host-local) — pass this
+        # process's shard of the inputs, get its rows back.
+        local = (jax.local_devices() if jax.process_count() > 1
+                 else jax.devices())
         if n >= batch_size:
-            d = best_data_axis(batch_size)
+            d = best_data_axis(batch_size, max_devices=len(local))
         else:
-            d = min(len(jax.devices()), n)
-        mesh = make_mesh(d)
+            d = min(len(local), n)
+        mesh = make_mesh(d, devices=local)
         shard = batch_sharding(mesh)
         # variables may live on a different mesh (e.g. fit() used a
-        # smaller data axis) — re-replicate them on this mesh
+        # smaller data axis, or a multi-process global mesh) —
+        # re-replicate them on this mesh (via host for a device-set
+        # change: replicated global arrays fetch locally)
+        if jax.process_count() > 1:
+            variables = jax.tree_util.tree_map(np.asarray, variables)
         variables = jax.device_put(variables, replicated(mesh))
         outs_acc = None
         for lo in range(0, n, batch_size):

@@ -8,6 +8,7 @@ from .train import (TrainState, create_train_state, make_train_step,
 from .checkpoint import (save_checkpoint, restore_checkpoint,
                          latest_checkpoint)
 from .input import put_global_batch, process_batch_slice
+from .multihost import distributed_initialize, is_multiprocess
 from .pipeline import PipelineExecutor, split_detector, split_yolov4
 
 __all__ = [
@@ -18,5 +19,6 @@ __all__ = [
     "make_eval_step", "make_optimizer",
     "save_checkpoint", "restore_checkpoint", "latest_checkpoint",
     "put_global_batch", "process_batch_slice",
+    "distributed_initialize", "is_multiprocess",
     "PipelineExecutor", "split_detector", "split_yolov4",
 ]
