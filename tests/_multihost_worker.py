@@ -76,6 +76,37 @@ def main():
         "sum": float(sum(np.asarray(l).sum() for l in leaves)),
     }
 
+    # Multi-process checkpoint/resume: a fresh identically-seeded model
+    # trained 1 epoch with process-coordinated Orbax checkpointing
+    # (process 0 writes, all processes barrier), then ANOTHER fresh
+    # model resumed from that checkpoint to the 2-epoch target, must
+    # reproduce the uninterrupted 2-epoch run (`model` above)
+    # bit-exactly — params, optimizer trajectory, loss history.
+    ck = os.path.join(os.path.dirname(out_path), "ckpt")
+
+    def fresh():
+        m = Model(YoloV2(anchors=anchors, class_num=classes),
+                  input_shape=(size, size, 3), seed=0)
+        m.compile(optimizer="adam", learning_rate=1e-3,
+                  loss=wrap_yolo_loss_v2((g, g), 5, classes, anchors))
+        return m
+
+    model_b = fresh()
+    model_b.fit(x[sl], y[sl], epochs=1, batch_size=4, shuffle=False,
+                verbose=0, checkpoint_dir=ck, checkpoint_every=1)
+    model_c = fresh()
+    hist_c = model_c.fit(x[sl], y[sl], epochs=2, batch_size=4,
+                         shuffle=False, verbose=0, checkpoint_dir=ck,
+                         resume=True)
+    la = jax.tree_util.tree_leaves(model.variables)
+    lc = jax.tree_util.tree_leaves(model_c.variables)
+    resume_max_diff = max(
+        float(np.abs(np.asarray(a) - np.asarray(c)).max())
+        for a, c in zip(la, lc))
+    digest["resume_max_diff"] = resume_max_diff
+    digest["resume_epochs_run"] = len(hist_c["loss"])
+    digest["resume_loss1"] = hist_c["loss"][-1]
+
     with open(out_path, "w") as f:
         json.dump({"pid": pid, "loss": history["loss"],
                    "digest": digest}, f)

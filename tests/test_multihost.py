@@ -141,3 +141,18 @@ def test_two_process_run_matches_single_process(worker_results):
     leaves = jax.tree_util.tree_leaves(model.variables)
     abs_sum = float(sum(np.abs(np.asarray(l)).sum() for l in leaves))
     assert r0["digest"]["abs_sum"] == pytest.approx(abs_sum, rel=0.01)
+
+
+def test_multiprocess_checkpoint_resume(worker_results):
+    """Process-coordinated Orbax checkpoint + resume reproduces the
+    uninterrupted multi-process run bit-exactly on every process
+    (computed inside the workers — see tests/_multihost_worker.py)."""
+    for r in worker_results:
+        assert r["digest"]["resume_epochs_run"] == 1   # epoch 1 skipped
+        assert r["digest"]["resume_max_diff"] == 0.0
+    # and the resumed epoch-2 loss equals the uninterrupted epoch-2
+    # loss on both processes (identical global batches)
+    assert worker_results[0]["digest"]["resume_loss1"] == pytest.approx(
+        worker_results[0]["loss"][-1], rel=1e-6)
+    assert worker_results[1]["digest"]["resume_loss1"] == pytest.approx(
+        worker_results[1]["loss"][-1], rel=1e-6)

@@ -608,16 +608,13 @@ class Model:
         single-process run over the concatenated data would
         (tests/test_multihost.py asserts this equality with a real
         2-process run). All processes must pass equally many rows.
-        Orbax checkpointing is process-coordinated and not yet
-        supported here — use save_weights (replicated arrays fetch
-        identically on every host).
+        Checkpointing/resume works multi-process too: every process
+        calls fit() with the same ``checkpoint_dir`` (on a filesystem
+        all hosts see), process 0 writes, all rendezvous on a device
+        barrier (parallel/checkpoint.py; resume equality asserted by
+        the same 2-process test).
         """
         self._ensure_state()
-        if jax.process_count() > 1 and (checkpoint_dir is not None
-                                        or resume):
-            raise ValueError(
-                "multi-process checkpointing is not supported yet — "
-                "save_weights()/load_weights() work on every host")
         self.stop_training = False
         callbacks = list(callbacks or [])
         rng = np.random.RandomState(seed)
