@@ -63,6 +63,65 @@ def test_checkpoint_save_restore(tmp_path):
                                np.zeros((3,)))
 
 
+def test_checkpoint_async(tmp_path):
+    """Async checkpointing (the SURVEY §5 checkpoint-row plan):
+    ``block=False`` snapshots synchronously and writes in background;
+    the committed state equals a blocking save, stray in-flight
+    Orbax tmp dirs are invisible to latest_checkpoint/pruning, and
+    ``fit(checkpoint_async=True)`` fences before returning with the
+    final checkpoint equal to the final live state."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from tf2_yolo_tpu.parallel import (create_train_state,
+                                       save_checkpoint,
+                                       restore_checkpoint,
+                                       latest_checkpoint,
+                                       wait_for_saves)
+
+    tx = optax.adam(1e-3)
+    state = create_train_state(
+        {"params": {"w": jnp.full((3, 3), 2.0)},
+         "batch_stats": {"m": jnp.zeros((3,))}}, tx)
+    state = state._replace(step=jnp.asarray(5, jnp.int32))
+    ck = str(tmp_path / "ck")
+    # a stray in-flight-style dir must not break step parsing/pruning
+    os.makedirs(os.path.join(ck, "step_9.orbax-checkpoint-tmp-1"))
+    d = save_checkpoint(ck, state, block=False)
+    wait_for_saves()
+    assert latest_checkpoint(ck) == d
+    blank = create_train_state(
+        {"params": {"w": jnp.zeros((3, 3))},
+         "batch_stats": {"m": jnp.ones((3,))}}, tx)
+    restored = restore_checkpoint(d, blank)
+    assert int(restored.step) == 5
+    np.testing.assert_array_equal(restored.params["w"],
+                                  np.full((3, 3), 2.0))
+
+    # engine path: async per-epoch checkpoints; the latest committed
+    # checkpoint after fit() equals the live final state bit-exactly
+    from tf2_yolo_tpu.engine import Model
+    from tf2_yolo_tpu.models import YoloV2
+    from tf2_yolo_tpu.ops import wrap_yolo_loss_v2
+
+    anchors = [[0.3, 0.3]]
+    x = np.random.RandomState(0).rand(4, 64, 64, 3).astype(np.float32)
+    y = np.zeros((4, 2, 2, 6), np.float32)
+    y[:, 0, 0] = [0.5, 0.5, 0.3, 0.3, 1, 1]
+    m = Model(YoloV2(anchors=anchors, class_num=1), (64, 64, 3), seed=3)
+    m.compile("adam", loss=wrap_yolo_loss_v2((2, 2), 1, 1, anchors),
+              learning_rate=1e-3)
+    ck2 = str(tmp_path / "ck2")
+    m.fit(x, y, epochs=3, batch_size=2, seed=11, verbose=0,
+          checkpoint_dir=ck2, checkpoint_every=1, checkpoint_async=True)
+    latest = latest_checkpoint(ck2)
+    assert latest.endswith("step_6")     # 3 epochs x 2 steps
+    restored = restore_checkpoint(latest, m._state)
+    for a, b in zip(jax.tree_util.tree_leaves(restored._asdict()),
+                    jax.tree_util.tree_leaves(m._state._asdict())):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fit_resume_preemption(tmp_path):
     """Preemption-safe resume (SURVEY §5 failure/elastic-recovery row,
     absent in the reference): 2 epochs + kill + fit(resume=True) to the

@@ -549,7 +549,8 @@ class Model:
     def fit(self, x, y=None, epochs=1, batch_size=20, shuffle=True,
             seed=None, verbose=1, validation_data=None,
             profile_dir=None, checkpoint_dir=None,
-            checkpoint_every=None, resume=False,
+            checkpoint_every=None, checkpoint_async=False,
+            resume=False,
             checkpoint_on_interrupt=False, callbacks=None):
         """Train. ``x`` is an ndarray (with ``y`` labels, list for
         multi-output models) or a sequence yielding (img, labels).
@@ -560,6 +561,14 @@ class Model:
                 Perfetto) — the SURVEY §5 tracing hook.
             checkpoint_dir/checkpoint_every: save full training state
                 (params + optimizer + step) every N epochs via Orbax.
+            checkpoint_async: if True, periodic checkpoints snapshot
+                the state to host synchronously but write in Orbax's
+                background thread, overlapping checkpoint IO with the
+                next epochs (SURVEY §5 async-checkpoint plan); fit()
+                fences all in-flight writes before returning. The
+                interrupt checkpoint always blocks (the process is
+                about to exit). Multi-process runs ignore this and
+                save synchronously (collective barriers).
             resume: if True, restore the latest checkpoint under
                 ``checkpoint_dir`` (params + optimizer + step) before
                 training and skip the epochs it already covers —
@@ -764,7 +773,8 @@ class Model:
                 if (checkpoint_dir is not None and checkpoint_every
                         and (epoch + 1) % checkpoint_every == 0):
                     from .parallel.checkpoint import save_checkpoint
-                    save_checkpoint(checkpoint_dir, self._state)
+                    save_checkpoint(checkpoint_dir, self._state,
+                                    block=not checkpoint_async)
                 for cb in callbacks:
                     if hasattr(cb, "on_epoch_end"):
                         cb.on_epoch_end(epoch, dict(means), self)
@@ -773,6 +783,9 @@ class Model:
         finally:
             for _mod, _sig, _h in _sig_prev:
                 _mod.signal(_sig, _h)
+            if checkpoint_async:
+                from .parallel.checkpoint import wait_for_saves
+                wait_for_saves()
 
         if profiling:
             jax.profiler.stop_trace()

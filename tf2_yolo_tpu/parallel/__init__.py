@@ -6,7 +6,7 @@ from .mesh import (make_mesh, make_mesh_spatial, batch_sharding,
 from .train import (TrainState, create_train_state, make_train_step,
                     make_eval_step, make_optimizer)
 from .checkpoint import (save_checkpoint, restore_checkpoint,
-                         latest_checkpoint)
+                         latest_checkpoint, wait_for_saves)
 from .input import put_global_batch, process_batch_slice
 from .multihost import distributed_initialize, is_multiprocess
 from .pipeline import PipelineExecutor, split_detector, split_yolov4
@@ -18,6 +18,7 @@ __all__ = [
     "TrainState", "create_train_state", "make_train_step",
     "make_eval_step", "make_optimizer",
     "save_checkpoint", "restore_checkpoint", "latest_checkpoint",
+    "wait_for_saves",
     "put_global_batch", "process_batch_slice",
     "distributed_initialize", "is_multiprocess",
     "PipelineExecutor", "split_detector", "split_yolov4",
