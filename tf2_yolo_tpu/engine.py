@@ -550,7 +550,7 @@ class Model:
             seed=None, verbose=1, validation_data=None,
             profile_dir=None, checkpoint_dir=None,
             checkpoint_every=None, checkpoint_async=False,
-            resume=False,
+            checkpoint_keep=3, resume=False,
             checkpoint_on_interrupt=False, callbacks=None):
         """Train. ``x`` is an ndarray (with ``y`` labels, list for
         multi-output models) or a sequence yielding (img, labels).
@@ -569,6 +569,8 @@ class Model:
                 interrupt checkpoint always blocks (the process is
                 about to exit). Multi-process runs ignore this and
                 save synchronously (collective barriers).
+            checkpoint_keep: retain only the newest N step_* dirs
+                under ``checkpoint_dir`` (default 3).
             resume: if True, restore the latest checkpoint under
                 ``checkpoint_dir`` (params + optimizer + step) before
                 training and skip the epochs it already covers —
@@ -732,7 +734,8 @@ class Model:
 
                 if self._interrupted:
                     from .parallel.checkpoint import save_checkpoint
-                    ckpt = save_checkpoint(checkpoint_dir, self._state)
+                    ckpt = save_checkpoint(checkpoint_dir, self._state,
+                                           keep=checkpoint_keep)
                     if verbose:
                         print(f"Interrupted at step "
                               f"{int(self._state.step)} — state saved "
@@ -774,6 +777,7 @@ class Model:
                         and (epoch + 1) % checkpoint_every == 0):
                     from .parallel.checkpoint import save_checkpoint
                     save_checkpoint(checkpoint_dir, self._state,
+                                    keep=checkpoint_keep,
                                     block=not checkpoint_async)
                 for cb in callbacks:
                     if hasattr(cb, "on_epoch_end"):

@@ -10,6 +10,11 @@ number, not an assumption.
 
 Usage:  python tools/bench_fit.py [--batch 128] [--size 416]
         [--n 256] [--epochs 3] [--prefetch 2]
+        [--checkpoint none|sync|async]
+
+``--checkpoint`` saves the full Orbax train state every epoch
+(checkpoint_every=1) so the per-epoch cost of sync vs async
+(background-write) checkpointing is a measured number.
 
 Prints one JSON line per configuration:
   {"fit_img_per_sec": ..., "epoch_s": [...], "prefetch": N}
@@ -38,6 +43,12 @@ def main():
     ap.add_argument("--prefetch", type=int, default=None,
                     help="fit(prefetch=) values to test; default: "
                          "engine default only")
+    ap.add_argument("--checkpoint",
+                    choices=["none", "sync", "async", "all"],
+                    default="none",
+                    help="save full Orbax train state every epoch; "
+                         "'all' measures none/sync/async in one "
+                         "process (one compile)")
     args = ap.parse_args()
 
     import jax
@@ -74,20 +85,50 @@ def main():
         y[:, 0, 0, 4] = 1
         y[:, 0, 0, 5] = 1
 
-    fit_kwargs = {}
+    base_kwargs = {}
     if args.prefetch is not None:
-        fit_kwargs["prefetch"] = args.prefetch
-    hist = model.fit(x, ys, epochs=args.epochs, batch_size=b,
-                     shuffle=False, verbose=1, **fit_kwargs)
-    times = hist["epoch_time"]
-    steady = times[1:] if len(times) > 1 else times
-    rate = n * len(steady) / sum(steady)
-    print(json.dumps({
-        "fit_img_per_sec": round(rate, 1),
-        "epoch_s": [round(t, 2) for t in times],
-        "prefetch": args.prefetch,
-        "batch": b, "size": size, "n": n,
-    }))
+        base_kwargs["prefetch"] = args.prefetch
+
+    def ck_kwargs(mode):
+        if mode == "none":
+            return dict(base_kwargs)
+        import tempfile
+        return dict(base_kwargs,
+                    checkpoint_dir=tempfile.mkdtemp(prefix="bench_ck_"),
+                    checkpoint_every=1,
+                    checkpoint_async=(mode == "async"))
+
+    if args.checkpoint == "none":
+        hist = model.fit(x, ys, epochs=args.epochs, batch_size=b,
+                         shuffle=False, verbose=1, **base_kwargs)
+        times = hist["epoch_time"]
+        steady = times[1:] if len(times) > 1 else times
+        rows = [("none", n * len(steady) / sum(steady),
+                 [round(t, 2) for t in times])]
+    else:
+        # fit records epoch_time BEFORE the end-of-epoch checkpoint, so
+        # checkpoint cost only shows in wall time: warm up (compile)
+        # with one checkpoint-free epoch, then time whole fit() calls
+        model.fit(x, ys, epochs=1, batch_size=b, shuffle=False,
+                  verbose=0, **base_kwargs)
+        modes = (["none", "sync", "async"]
+                 if args.checkpoint == "all" else [args.checkpoint])
+        rows = []
+        for mode in modes:
+            t0 = time.time()
+            model.fit(x, ys, epochs=args.epochs, batch_size=b,
+                      shuffle=False, verbose=0, **ck_kwargs(mode))
+            wall = time.time() - t0
+            rows.append((mode, n * args.epochs / wall,
+                         [round(wall, 2)]))
+    for mode, rate, times in rows:
+        print(json.dumps({
+            "fit_img_per_sec": round(rate, 1),
+            "epoch_s": times,
+            "prefetch": args.prefetch,
+            "checkpoint": mode,
+            "batch": b, "size": size, "n": n,
+        }), flush=True)
 
 
 if __name__ == "__main__":
