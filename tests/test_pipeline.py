@@ -348,6 +348,227 @@ def test_pipeline_save_load_merge(tmp_path):
                                    rtol=2e-3, atol=1e-5)
 
 
+class _Stage0BN(nn.Module):
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = nn.Conv(8, (3, 3))(x)
+        x = nn.BatchNorm(use_running_average=not train,
+                         momentum=0.9)(x)
+        return nn.relu(x)
+
+
+class _Stage1BN(nn.Module):
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = nn.Conv(4, (3, 3), strides=(2, 2))(x)
+        x = nn.BatchNorm(use_running_average=not train,
+                         momentum=0.9)(x)
+        return x.mean(axis=(1, 2))
+
+
+def _two_stage_bn(batch=8):
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.rand(batch, 16, 16, 3), jnp.float32)
+    m0, m1 = _Stage0BN(), _Stage1BN()
+    p0 = m0.init(jax.random.PRNGKey(0), x)
+    p1 = m1.init(jax.random.PRNGKey(1), m0.apply(p0, x))
+
+    def mk(m, train):
+        if not train:
+            return lambda p, a, _m=m: _m.apply(p, a, train=False)
+
+        def fn(p, a, _m=m):
+            y, mut = _m.apply(p, a, train=True,
+                              mutable=["batch_stats"])
+            return y, mut["batch_stats"]
+        return fn
+
+    stages = [mk(m0, False), mk(m1, False)]
+    train_stages = [mk(m0, True), mk(m1, True)]
+    return (m0, m1), stages, train_stages, [p0, p1], x
+
+
+def _oracle_train_step(modules, params, x, y, loss_fn):
+    """Single-device train-mode step: loss, per-stage param grads, and
+    EMA-updated batch_stats — the semantics PP train mode must match."""
+    m0, m1 = modules
+
+    def fwd(p0p1):
+        p0t, p1t = p0p1
+        h, mut0 = m0.apply({**params[0], "params": p0t}, x,
+                           train=True, mutable=["batch_stats"])
+        out, mut1 = m1.apply({**params[1], "params": p1t}, h,
+                             train=True, mutable=["batch_stats"])
+        return loss_fn(out, y), (mut0["batch_stats"],
+                                 mut1["batch_stats"])
+
+    (loss, stats), grads = jax.value_and_grad(fwd, has_aux=True)(
+        (params[0]["params"], params[1]["params"]))
+    return loss, grads, stats
+
+
+def test_pipeline_train_mode_bn_full_microbatch_matches_single_device():
+    """Train-mode PP with microbatch == batch equals the single-device
+    train-mode step EXACTLY: loss, grads (through the batch
+    statistics), and the EMA-updated running stats in the stage
+    trees."""
+    modules, stages, train_stages, params, x = _two_stage_bn()
+    y = jnp.asarray(np.random.RandomState(8).rand(8, 4), jnp.float32)
+
+    def loss_fn(out, yb):
+        return jnp.mean((out - yb) ** 2)
+
+    want_l, want_g, want_stats = _oracle_train_step(
+        modules, params, x, y, loss_fn)
+
+    pipe = PipelineExecutor(stages, params, train_stages=train_stages)
+    step = pipe.value_and_grad(loss_fn)       # train defaults on
+    loss, grads = step(x, y, microbatch=None)
+    np.testing.assert_allclose(float(loss), float(want_l), rtol=1e-5)
+    for got, want in zip(grads, want_g):
+        for a, b in zip(jax.tree_util.tree_leaves(got),
+                        jax.tree_util.tree_leaves(want)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=1e-6)
+    # running stats were EMA-updated IN the live stage trees
+    for s, want_st in enumerate(want_stats):
+        got_leaves = jax.tree_util.tree_leaves(
+            pipe.params[s]["batch_stats"])
+        want_leaves = jax.tree_util.tree_leaves(want_st)
+        init_leaves = jax.tree_util.tree_leaves(
+            params[s]["batch_stats"])
+        for a, b, i in zip(got_leaves, want_leaves, init_leaves):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+            assert not np.array_equal(np.asarray(a), np.asarray(i))
+
+
+def test_pipeline_train_mode_bn_microbatched_matches_sequential():
+    """Train-mode PP with microbatch < batch equals sequentially
+    train-stepping each microbatch on one device with gradient
+    accumulation (per-microbatch batch statistics, chained EMA) —
+    the standard GPipe BN semantics."""
+    modules, stages, train_stages, params, x = _two_stage_bn()
+    y = jnp.asarray(np.random.RandomState(9).rand(8, 4), jnp.float32)
+
+    def loss_fn(out, yb):
+        return jnp.mean((out - yb) ** 2)
+
+    mb = 4
+    n = x.shape[0] // mb
+    cur = [dict(p) for p in params]
+    acc = None
+    total = 0.0
+    for i in range(n):
+        xs, ys_ = x[i * mb:(i + 1) * mb], y[i * mb:(i + 1) * mb]
+        l, g, stats = _oracle_train_step(modules, cur, xs, ys_, loss_fn)
+        total += float(l) / n
+        g = jax.tree_util.tree_map(lambda a: a / n, g)
+        acc = g if acc is None else jax.tree_util.tree_map(
+            jnp.add, acc, g)
+        for s in range(2):
+            cur[s] = {**cur[s], "batch_stats": stats[s]}
+
+    pipe = PipelineExecutor(stages, params, train_stages=train_stages)
+    step = pipe.value_and_grad(loss_fn, train=True)
+    loss, grads = step(x, y, microbatch=mb)
+    np.testing.assert_allclose(float(loss), total, rtol=1e-5)
+    for got, want in zip(grads, acc):
+        for a, b in zip(jax.tree_util.tree_leaves(got),
+                        jax.tree_util.tree_leaves(want)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=1e-6)
+    for s in range(2):
+        for a, b in zip(jax.tree_util.tree_leaves(
+                            pipe.params[s]["batch_stats"]),
+                        jax.tree_util.tree_leaves(
+                            cur[s]["batch_stats"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+
+
+def test_split_detector_train_mode_v4():
+    """with_train=True on the real YOLOv4 cut: a full-microbatch PP
+    train step equals the single-device train-mode apply (loss, grads,
+    updated stats), and merged_variables() round-trips the UPDATED
+    running stats into the monolithic tree."""
+    from tf2_yolo_tpu.models import YoloV4
+
+    anchors = np.stack([np.linspace(0.1, 0.8, 9),
+                        np.linspace(0.1, 0.7, 9)], axis=1)
+    module = YoloV4(anchors=anchors, class_num=2)
+    rng = np.random.RandomState(10)
+    x = jnp.asarray(rng.rand(4, 64, 64, 3), jnp.float32)
+    variables = module.init(jax.random.PRNGKey(0), x[:1], train=False)
+
+    stages, params, train_stages = split_yolov4(
+        module, variables, with_train=True)
+    pipe = PipelineExecutor(stages, params, train_stages=train_stages)
+
+    def loss_fn(out, *_):
+        return sum(jnp.mean(jnp.log1p(o ** 2)) for o in out)
+
+    def composed(p, xin):
+        out, mut = module.apply({**variables, "params": p}, xin,
+                                train=True, mutable=["batch_stats"])
+        return loss_fn(out), mut["batch_stats"]
+
+    (want_l, want_stats), want_g = jax.value_and_grad(
+        composed, has_aux=True)(variables["params"], x)
+    # conditioning calibration (same criterion as test_packed_region):
+    # train-mode BN gradients of the untrained net amplify 1e-6 input
+    # perturbations by orders of magnitude, so a fixed tolerance can't
+    # separate two-compiled-partition rounding from bugs — bound the
+    # cut's error by the oracle's OWN sensitivity instead
+    cond_g = jax.grad(lambda p, xin: composed(p, xin)[0])(
+        variables["params"], x + 1e-6)
+
+    step = pipe.value_and_grad(loss_fn)
+    loss, grads = step(x, microbatch=None)
+    np.testing.assert_allclose(float(loss), float(want_l), rtol=1e-3)
+
+    def stage_view(tree):
+        return [
+            {"backbone": tree["backbone"]},
+            {k: v for k, v in tree.items() if k != "backbone"},
+        ]
+
+    for got_g, want_gs, cond_gs in zip(grads, stage_view(want_g),
+                                       stage_view(cond_g)):
+        ga = jax.tree_util.tree_leaves_with_path(got_g)
+        wa = jax.tree_util.tree_leaves_with_path(want_gs)
+        ca = jax.tree_util.tree_leaves_with_path(cond_gs)
+        assert [p for p, _ in ga] == [p for p, _ in wa]
+        for (pth, a), (_, b), (_, c) in zip(ga, wa, ca):
+            a = np.asarray(a, np.float64)
+            b = np.asarray(b, np.float64)
+            c = np.asarray(c, np.float64)
+            nb = max(np.linalg.norm(b), 1e-12)
+            err = np.linalg.norm(a - b) / nb
+            err_cond = np.linalg.norm(c - b) / nb
+            assert err < max(100 * err_cond, 5e-3), (pth, err,
+                                                     err_cond)
+            assert err < 0.2, (pth, err)
+
+    # merged tree carries the updated stats (== oracle stats)
+    merged = pipe.merged_variables()
+    got = jax.tree_util.tree_leaves_with_path(merged["batch_stats"])
+    want = jax.tree_util.tree_leaves_with_path(
+        jax.device_get(want_stats))
+    assert [p for p, _ in got] == [p for p, _ in want]
+    changed = 0
+    init_map = dict(jax.tree_util.tree_leaves_with_path(
+        jax.device_get(variables["batch_stats"])))
+    for (pth, a), (_, b) in zip(got, want):
+        # the two compiled partitions reassociate the batch-stat
+        # reductions: ~2e-6 absolute on near-zero means/vars
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+        if not np.array_equal(np.asarray(a), np.asarray(init_map[pth])):
+            changed += 1
+    assert changed > 0
+
+
 def test_split_detector_all_families():
     """split_detector: the generic backbone|neck cut reproduces the
     monolithic eval forward for every detector family (v1, v2, v3

@@ -29,6 +29,24 @@ order, accumulating per-stage parameter gradients over microbatches.
 Loss scaling follows gradient-accumulation semantics (mean over
 microbatches), so a pipeline step equals the same-batch single-device
 step to float tolerance — asserted in tests/test_pipeline.py.
+
+Training supports BOTH BatchNorm modes:
+
+- frozen statistics (default, ``train_stages=None``): stages run the
+  eval-mode forward; running stats are constants. The fine-tuning
+  contract.
+- train-mode BN (``train_stages=`` from ``split_detector(...,
+  with_train=True)``): each stage applies with ``train=True,
+  mutable=["batch_stats"]`` — normalization uses the microbatch's own
+  batch statistics (differentiated exactly: the backward recompute
+  also runs train-mode), and the running-average stats are EMA-updated
+  in the stage trees after every microbatch, exactly like flax's
+  single-device semantics. With ``microbatch == batch`` a PP train
+  step equals the single-device train-mode step (loss, grads, AND
+  updated stats — asserted in tests/test_pipeline.py); with smaller
+  microbatches the batch statistics are per-microbatch (the standard
+  GPipe BN semantics), equal to sequentially train-stepping each
+  microbatch with gradient accumulation — also asserted.
 """
 
 from typing import Any, Callable, Optional, Sequence
@@ -65,11 +83,18 @@ class PipelineExecutor:
 
     def __init__(self, stages: Sequence[Callable], params: Sequence[Any],
                  devices: Optional[Sequence] = None,
-                 meshes: Optional[Sequence] = None):
+                 meshes: Optional[Sequence] = None,
+                 train_stages: Optional[Sequence[Callable]] = None):
         if len(stages) != len(params):
             raise ValueError(
                 f"{len(stages)} stages but {len(params)} params trees")
+        if train_stages is not None and len(train_stages) != len(stages):
+            raise ValueError(
+                f"{len(stages)} stages but {len(train_stages)} "
+                f"train_stages")
         self.stages = list(stages)
+        self.train_stages = (list(train_stages)
+                             if train_stages is not None else None)
         if meshes is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             if len(meshes) < len(stages):
@@ -108,16 +133,28 @@ class PipelineExecutor:
         self._fwd = [jax.jit(s) for s in self.stages]
         self._bwd = [jax.jit(self._make_bwd(i))
                      for i in range(len(self.stages))]
+        if self.train_stages is not None:
+            self._fwd_t = [jax.jit(s) for s in self.train_stages]
+            self._bwd_t = [jax.jit(self._make_bwd(i, train=True))
+                           for i in range(len(self.stages))]
         self._acc = jax.jit(
             lambda a, b: jax.tree_util.tree_map(jnp.add, a, b))
 
-    def _make_bwd(self, s):
-        stage = self.stages[s]
+    def _make_bwd(self, s, train: bool = False):
+        stage = (self.train_stages if train else self.stages)[s]
         partition = self._partition
 
         def bwd(params, x, dy):
             tp, rebuild = partition(params)
-            _, vjp = jax.vjp(lambda t, a: stage(rebuild(t), a), tp, x)
+            if train:
+                # train-mode stage returns (y, new_stats): recompute y
+                # only — gradients flow through the BATCH statistics
+                # (exact train-mode BN backward); the running-stat EMA
+                # side output is not differentiated
+                f = lambda t, a: stage(rebuild(t), a)[0]
+            else:
+                f = lambda t, a: stage(rebuild(t), a)
+            _, vjp = jax.vjp(f, tp, x)
             return vjp(dy)
         return bwd
 
@@ -137,17 +174,34 @@ class PipelineExecutor:
             lambda *leaves: jnp.concatenate(leaves, axis=0), *outs)
 
     # -- training -----------------------------------------------------
-    def value_and_grad(self, loss_fn: Callable):
+    def value_and_grad(self, loss_fn: Callable,
+                       train: Optional[bool] = None):
         """``loss_fn(final_stage_out, *aux) -> scalar`` per microbatch.
         Returns ``step(x, *aux, microbatch=) -> (loss, grads)`` with
         ``grads`` a list of per-stage gradient pytrees over the
         TRAINABLE part of each stage tree (the ``"params"`` collection
-        for flax variable dicts; the whole tree otherwise — frozen
-        collections like ``batch_stats`` are closed over as constants,
-        never differentiated), averaged over microbatches to match
-        gradient-accumulation semantics. ``aux`` pytrees (e.g. labels)
-        are split over microbatches like ``x`` and consumed on the
-        last stage's device."""
+        for flax variable dicts; the whole tree otherwise), averaged
+        over microbatches to match gradient-accumulation semantics.
+        ``aux`` pytrees (e.g. labels) are split over microbatches like
+        ``x`` and consumed on the last stage's device.
+
+        ``train`` (default: whether ``train_stages`` were given):
+        False runs the frozen-BN-statistics forward (``batch_stats``
+        closed over as constants, never differentiated — the
+        fine-tuning contract). True runs train-mode BN: stages
+        normalize with the microbatch's own batch statistics
+        (differentiated exactly) and the running-average stats are
+        EMA-updated IN ``self.params`` after each microbatch, matching
+        single-device flax semantics (see module docstring for the
+        microbatch-size semantics)."""
+        use_train = (self.train_stages is not None) if train is None \
+            else train
+        if use_train and self.train_stages is None:
+            raise ValueError(
+                "train=True requires train_stages (split with "
+                "with_train=True)")
+        fwd = self._fwd_t if use_train else self._fwd
+        bwd = self._bwd_t if use_train else self._bwd
 
         def loss_fb(out, aux_mb, inv_n):
             l, vjp = jax.vjp(lambda o: loss_fn(o, *aux_mb), out)
@@ -165,7 +219,12 @@ class PipelineExecutor:
             # fill: stream every microbatch through the jitted stage
             # forwards (async dispatch overlaps the stages), storing
             # only each stage's INPUT; the loss value and its seeded
-            # cotangent come from one jitted program on the last stage
+            # cotangent come from one jitted program on the last stage.
+            # Train mode: each stage also emits its EMA-updated running
+            # stats, folded into the live stage tree immediately (the
+            # stats chain serializes across microbatches like flax's
+            # sequential train steps; the normalized output does not
+            # read the running stats, so stage overlap is unaffected)
             xs = [[None] * n for _ in self.stages]
             losses, dys = [None] * n, [None] * n
             for m, mb in enumerate(mbs):
@@ -173,20 +232,28 @@ class PipelineExecutor:
                 for s in range(len(self.stages)):
                     y = self._put(y, self._act_t[s])
                     xs[s][m] = y
-                    y = self._fwd[s](self.params[s], y)
+                    if use_train:
+                        y, new_stats = fwd[s](self.params[s], y)
+                        self.params[s] = self._with_stats(
+                            self.params[s], new_stats, self._par_t[s])
+                    else:
+                        y = fwd[s](self.params[s], y)
                 am = tuple(self._put(a[m], last_t) for a in aux_mbs)
                 losses[m], dys[m] = loss_fb(y, am, inv_n)
 
             # drain: stream cotangents backward, newest microbatch
             # first (reverse schedule); each stage backward is one
             # compiled recompute+vjp launch on its stage device, and
-            # gradient accumulation is a jitted tree-add
+            # gradient accumulation is a jitted tree-add. (Train-mode
+            # recompute is exact: the normalized output depends on the
+            # microbatch's batch stats, not the running stats the
+            # forward just updated.)
             grads = [None] * len(self.stages)
             for m in reversed(range(n)):
                 dy = dys[m]
                 for s in reversed(range(len(self.stages))):
                     dy = self._put(dy, self._act_t[s])
-                    dp, dy = self._bwd[s](self.params[s], xs[s][m], dy)
+                    dp, dy = bwd[s](self.params[s], xs[s][m], dy)
                     xs[s][m] = None     # free the stored input early
                     grads[s] = dp if grads[s] is None else \
                         self._acc(grads[s], dp)
@@ -261,6 +328,17 @@ class PipelineExecutor:
 
     # -- helpers ------------------------------------------------------
     @staticmethod
+    def _with_stats(params, new_stats, target):
+        """Fold a train-mode stage's EMA-updated ``batch_stats`` back
+        into its live variable tree (no-op for stat-less stages),
+        keeping the stage's device/mesh placement."""
+        if not new_stats:
+            return params
+        return {**params,
+                "batch_stats": jax.tree_util.tree_map(
+                    lambda a: jax.device_put(a, target), new_stats)}
+
+    @staticmethod
     def _put(tree, target):
         """Transfer a pytree to a device or sharding target."""
         return jax.tree_util.tree_map(
@@ -291,13 +369,22 @@ class PipelineExecutor:
             lambda a, i=i: a[i * mb:(i + 1) * mb], x) for i in range(k)]
 
 
-def _stage_fn(module, stage_name):
-    def fn(params, x, _s=stage_name):
-        return module.apply(params, x, train=False, pipeline_stage=_s)
-    return fn
+def _stage_fn(module, stage_name, train: bool = False):
+    if not train:
+        def fn(params, x, _s=stage_name):
+            return module.apply(params, x, train=False,
+                                pipeline_stage=_s)
+        return fn
+
+    def fn_t(params, x, _s=stage_name):
+        y, mutated = module.apply(params, x, train=True,
+                                  mutable=["batch_stats"],
+                                  pipeline_stage=_s)
+        return y, mutated.get("batch_stats", {})
+    return fn_t
 
 
-def split_detector(module, variables):
+def split_detector(module, variables, with_train: bool = False):
     """Stage-split any detector flax module (YoloV1/V2/V3/V4,
     models/detectors.py) for 2-stage pipelining: stage 0 = backbone
     (-> its feature taps), stage 1 = neck + head(s). Every detector's
@@ -305,13 +392,17 @@ def split_detector(module, variables):
     params under "backbone", so the cut is the same for all four
     families (and for the resnet/custom backbones, which reuse the
     scope name). Returns ``(stages, params)`` for
-    :class:`PipelineExecutor`. The cut carries the backbone taps — the
-    natural YOLO stage boundary (the backbone holds most of the
-    parameters; e.g. reference yolov4/models/darknet.py:72-136 builds
-    the same two halves as one keras graph). Forward uses frozen BN
-    statistics (eval semantics) — the deployment/inference contract;
-    pipelined *training* keeps the same frozen-stats forward, so it
-    matches a single-device frozen-stats step exactly
+    :class:`PipelineExecutor`; with ``with_train=True`` returns
+    ``(stages, params, train_stages)`` where ``train_stages`` run
+    train-mode BN (``train=True, mutable=["batch_stats"]`` —
+    normalize with batch statistics, emit EMA-updated running stats)
+    for from-scratch pipelined training. The cut carries the backbone
+    taps — the natural YOLO stage boundary (the backbone holds most of
+    the parameters; e.g. reference yolov4/models/darknet.py:72-136
+    builds the same two halves as one keras graph). The default
+    ``stages`` use frozen BN statistics (eval semantics) — the
+    deployment/fine-tuning contract; both training modes match the
+    same-semantics single-device step exactly
     (tests/test_pipeline.py)."""
     def pick(tree, invert=False):
         return {k: v for k, v in tree.items()
@@ -323,14 +414,19 @@ def split_detector(module, variables):
     p0 = {c: pick(variables[c]) for c in variables if variables[c]}
     p1 = {c: pick(variables[c], invert=True)
           for c in variables if variables[c]}
-    return ([_stage_fn(module, "backbone"), _stage_fn(module, "neck")],
-            [p0, p1])
+    stages = [_stage_fn(module, "backbone"), _stage_fn(module, "neck")]
+    if with_train:
+        return stages, [p0, p1], [
+            _stage_fn(module, "backbone", train=True),
+            _stage_fn(module, "neck", train=True)]
+    return stages, [p0, p1]
 
 
 _EARLY_SCOPES = frozenset({"stem", "stage1", "stage2", "stage3"})
 
 
-def split_yolov4(module, variables, n_stages: int = 2):
+def split_yolov4(module, variables, n_stages: int = 2,
+                 with_train: bool = False):
     """Stage-split a YoloV4 flax module for pipelining.
 
     ``n_stages=2``: CSPDarknet-53 backbone | SPP/FPN/PAN neck + heads
@@ -339,10 +435,12 @@ def split_yolov4(module, variables, n_stages: int = 2):
     neck+heads (``backbone_early``/``backbone_late`` pipeline stages,
     models/detectors.py) — stage boundaries carry c3, then
     (c3, c4, c5). Returns ``(stages, params)`` for
-    :class:`PipelineExecutor`; same frozen-BN-statistics forward
-    semantics as :func:`split_detector`."""
+    :class:`PipelineExecutor` (``(stages, params, train_stages)`` with
+    ``with_train=True`` — train-mode-BN stage fns, see
+    :func:`split_detector`); the default ``stages`` run the
+    frozen-BN-statistics forward."""
     if n_stages == 2:
-        return split_detector(module, variables)
+        return split_detector(module, variables, with_train=with_train)
     if n_stages != 3:
         raise ValueError(f"n_stages must be 2 or 3, got {n_stages}")
     if "backbone" not in variables.get("params", {}):
@@ -366,7 +464,9 @@ def split_yolov4(module, variables, n_stages: int = 2):
     p0 = {c: t for c in cols if (t := pick_bb(variables[c], True))}
     p1 = {c: t for c in cols if (t := pick_bb(variables[c], False))}
     p2 = {c: t for c in cols if (t := pick_rest(variables[c]))}
-    stages = [_stage_fn(module, "backbone_early"),
-              _stage_fn(module, "backbone_late"),
-              _stage_fn(module, "neck")]
+    names = ["backbone_early", "backbone_late", "neck"]
+    stages = [_stage_fn(module, n) for n in names]
+    if with_train:
+        return stages, [p0, p1, p2], [
+            _stage_fn(module, n, train=True) for n in names]
     return stages, [p0, p1, p2]
