@@ -53,3 +53,67 @@ def test_prfunc_device_soft_nms_matches_host():
     dev = PRfunc(gts, preds, device=True, **kw)
     pd.testing.assert_frame_equal(host.get_map("area"),
                                   dev.get_map("area"))
+
+
+def _ragged_data(n=10, classes=3, seed=11):
+    """Uneven fixture: images with 0-5 GTs (some classless images),
+    random prediction tensors — exercises empty-GT, empty-pred, and
+    per-class imbalance in the device matching."""
+    rng = np.random.RandomState(seed)
+    preds = rand_level(rng, n=n, s=4, b=2, c=classes)
+    gts = np.zeros((n, 4, 4, 5 + classes), np.float32)
+    for i in range(n):
+        for _ in range(rng.randint(0, 6)):
+            y, x = rng.randint(0, 4, 2)
+            gts[i, y, x, :4] = rng.rand(4) * 0.5 + 0.2
+            gts[i, y, x, 4] = 1
+            gts[i, y, x, 5 + rng.randint(classes)] = 1
+    return gts, preds
+
+
+def test_score_mat_device_ragged_all_precision_modes():
+    """Fully-device matching (ops/evalmatch.py) == host loops on a
+    ragged fixture, for every precision mode."""
+    gts, preds = _ragged_data()
+    names = ["a", "b", "c"]
+    for mode in (0, 1, 2):
+        kw = dict(class_names=names, conf_threshold=0.4, nms_mode=1,
+                  nms_threshold=0.5, iou_threshold=0.5,
+                  precision_mode=mode, version=2)
+        host = create_score_mat(gts, preds, **kw)
+        dev = create_score_mat(gts, preds, device=True, **kw)
+        pd.testing.assert_frame_equal(host, dev)
+
+
+def test_prfunc_device_ragged_caps_and_modes():
+    """Device PR collection (vectorized cap + sweep) == host path:
+    small max_per_img forces the per-(image, class) cap, and every
+    precision mode / mAP mode agrees."""
+    gts, preds = _ragged_data(seed=13)
+    names = ["a", "b", "c"]
+    for pmode in (0, 1, 2):
+        kw = dict(class_names=names, conf_threshold=0.2, nms_mode=1,
+                  precision_mode=pmode, max_per_img=3, version=2)
+        host = PRfunc(gts, preds, **kw)
+        dev = PRfunc(gts, preds, device=True, **kw)
+        for ci in range(3):
+            np.testing.assert_allclose(dev.precisions[ci],
+                                       host.precisions[ci], atol=1e-9)
+            np.testing.assert_allclose(dev.recalls[ci],
+                                       host.recalls[ci], atol=1e-9)
+        for map_mode in ("voc2007", "voc2012", "area", "smootharea"):
+            pd.testing.assert_frame_equal(host.get_map(map_mode),
+                                          dev.get_map(map_mode))
+
+
+def test_prfunc_device_no_cap_matches_host():
+    gts, preds = _ragged_data(seed=17)
+    kw = dict(class_names=["a", "b", "c"], conf_threshold=0.3,
+              nms_mode=1, max_per_img=None, version=2)
+    host = PRfunc(gts, preds, **kw)
+    dev = PRfunc(gts, preds, device=True, **kw)
+    for ci in range(3):
+        np.testing.assert_allclose(dev.precisions[ci],
+                                   host.precisions[ci], atol=1e-9)
+        np.testing.assert_allclose(dev.recalls[ci],
+                                   host.recalls[ci], atol=1e-9)

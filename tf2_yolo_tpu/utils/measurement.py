@@ -32,6 +32,44 @@ def _decode_pair(y_true, y_pred_list, class_num, conf_threshold,
     return xywhcp_true, xywhcp_pred
 
 
+def _device_chunks(y_trues, y_preds, class_num, conf_threshold,
+                   nms_mode, nms_threshold, nms_sigma, version,
+                   max_boxes, chunk):
+    """Yield padded decoded+NMSed device arrays per image chunk:
+    ``(lo, t_rows, t_valid, p_rows, p_valid)`` — the shared front end
+    of the device evaluation paths. Emits the saturation warning after
+    the last chunk."""
+    from ..ops import decode_multi_level, apply_nms_device
+
+    y_trues = np.asarray(y_trues)
+    n = len(y_trues)
+    saturated = 0
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        t_rows, t_valid = decode_multi_level(
+            [y_trues[lo:hi]], class_num=class_num, threshold=0.5,
+            max_boxes=max_boxes, version=version)
+        p_rows, p_valid = decode_multi_level(
+            [np.asarray(p[lo:hi]) for p in y_preds],
+            class_num=class_num, threshold=conf_threshold,
+            max_boxes=max_boxes, version=version)
+        saturated += int(
+            (np.asarray(p_valid).sum(axis=1) >= max_boxes).sum())
+        if nms_mode > 0:
+            p_rows, p_valid = apply_nms_device(
+                p_rows, p_valid, nms_mode=nms_mode,
+                nms_threshold=nms_threshold,
+                conf_threshold=conf_threshold, nms_sigma=nms_sigma)
+        yield lo, t_rows, t_valid, p_rows, p_valid
+
+    if saturated:
+        warnings.warn(
+            f"device eval: {saturated} image(s) hit the max_boxes="
+            f"{max_boxes} pre-NMS cap; results keep only their top-k "
+            "candidates by joint confidence (raise max_boxes or the "
+            "conf_threshold for exact host-path parity)")
+
+
 def decode_batch_device(y_trues, y_preds, class_num, conf_threshold,
                         nms_mode, nms_threshold, nms_sigma, version,
                         max_boxes=256, chunk=64):
@@ -60,39 +98,14 @@ def decode_batch_device(y_trues, y_preds, class_num, conf_threshold,
     Returns:
         (true_rows_list, pred_rows_list): per-image (N_i, 7) arrays.
     """
-    from ..ops import decode_multi_level, apply_nms_device
-
-    y_trues = np.asarray(y_trues)
-    n = len(y_trues)
     trues, preds = [], []
-    saturated = 0
-    for lo in range(0, n, chunk):
-        hi = min(lo + chunk, n)
-        t_rows, t_valid = decode_multi_level(
-            [y_trues[lo:hi]], class_num=class_num, threshold=0.5,
-            max_boxes=max_boxes, version=version)
-        p_rows, p_valid = decode_multi_level(
-            [np.asarray(p[lo:hi]) for p in y_preds],
-            class_num=class_num, threshold=conf_threshold,
-            max_boxes=max_boxes, version=version)
-        saturated += int(
-            (np.asarray(p_valid).sum(axis=1) >= max_boxes).sum())
-        if nms_mode > 0:
-            p_rows, p_valid = apply_nms_device(
-                p_rows, p_valid, nms_mode=nms_mode,
-                nms_threshold=nms_threshold,
-                conf_threshold=conf_threshold, nms_sigma=nms_sigma)
+    for lo, t_rows, t_valid, p_rows, p_valid in _device_chunks(
+            y_trues, y_preds, class_num, conf_threshold, nms_mode,
+            nms_threshold, nms_sigma, version, max_boxes, chunk):
         t_rows, t_valid = np.asarray(t_rows), np.asarray(t_valid)
         p_rows, p_valid = np.asarray(p_rows), np.asarray(p_valid)
-        trues.extend(t_rows[i][t_valid[i]] for i in range(hi - lo))
-        preds.extend(p_rows[i][p_valid[i]] for i in range(hi - lo))
-
-    if saturated:
-        warnings.warn(
-            f"device eval: {saturated} image(s) hit the max_boxes="
-            f"{max_boxes} pre-NMS cap; results keep only their top-k "
-            "candidates by joint confidence (raise max_boxes or the "
-            "conf_threshold for exact host-path parity)")
+        trues.extend(t_rows[i][t_valid[i]] for i in range(len(t_rows)))
+        preds.extend(p_rows[i][p_valid[i]] for i in range(len(p_rows)))
     return trues, preds
 
 
@@ -119,32 +132,48 @@ def create_score_mat(y_trues, *y_preds,
     precision modes (reference measurement.py:51-57):
         0: TPP/PP   1: TP/(PP-(TPP-TP))   2: TP/PP
 
-    ``device=True`` runs decode + NMS for ALL images as batched jit
-    calls on the accelerator instead of per-image host loops.
+    ``device=True`` runs decode + NMS + IoU MATCHING for ALL images as
+    batched jit calls on the accelerator (ops/evalmatch.py) instead of
+    per-image host loops — the host then only sums (image, class)
+    count matrices.
     """
     import pandas as pd
 
     class_num = len(class_names)
-    dev_rows = None
-    if device:
-        dev_rows = decode_batch_device(
-            y_trues, y_preds, class_num, conf_threshold, nms_mode,
-            nms_threshold, nms_sigma, version,
-            max_boxes=device_max_boxes)
     pp_p = np.zeros((class_num, 2))        # [pred positives, positives]
     tp = np.zeros((class_num, 2))          # [tpp, tp]
     det_counts = np.zeros((class_num,), dtype="int")
 
-    for i_img in range(len(y_trues)):
-        if dev_rows is not None:
-            true_rows, pred_rows = (dev_rows[0][i_img],
-                                    dev_rows[1][i_img])
-        else:
-            pred_list = [y_preds[j][i_img]
-                         for j in range(len(y_preds))]
-            true_rows, pred_rows = _decode_pair(
-                y_trues[i_img], pred_list, class_num, conf_threshold,
-                nms_mode, nms_threshold, nms_sigma, version)
+    if device:
+        from ..ops.evalmatch import match_counts
+
+        sums = {k: np.zeros(class_num, np.int64)
+                for k in ("n_true", "n_pred", "tpp", "tp")}
+        for _, t_rows, t_valid, p_rows, p_valid in _device_chunks(
+                y_trues, y_preds, class_num, conf_threshold, nms_mode,
+                nms_threshold, nms_sigma, version, device_max_boxes,
+                64):
+            got = match_counts(t_rows, t_valid, p_rows, p_valid,
+                               class_num, iou_threshold)
+            for k in sums:
+                sums[k] += np.asarray(got[k], np.int64).sum(axis=0)
+        pp_p[:, 0] = sums["n_pred"]
+        pp_p[:, 1] = sums["n_true"]
+        det_counts[:] = sums["n_pred"]
+        # the per-image mode-1 correction and the TPP->TP collapse are
+        # linear in the per-image counts, so the summed matrices give
+        # the same table as the host's per-image accumulation
+        if precision_mode == 1:
+            pp_p[:, 0] -= sums["tpp"] - sums["tp"]
+        tp[:, 0] = sums["tp"] if precision_mode > 0 else sums["tpp"]
+        tp[:, 1] = sums["tp"]
+
+    for i_img in (() if device else range(len(y_trues))):
+        pred_list = [y_preds[j][i_img]
+                     for j in range(len(y_preds))]
+        true_rows, pred_rows = _decode_pair(
+            y_trues[i_img], pred_list, class_num, conf_threshold,
+            nms_mode, nms_threshold, nms_sigma, version)
         true_rows, true_cls = _split_rows(true_rows)
         pred_rows, pred_cls = _split_rows(pred_rows)
 
@@ -202,28 +231,46 @@ class PRfunc:
         class_num = len(class_names)
         self.class_num = class_num
         self.class_names = list(class_names)
-        dev_rows = None
-        if device:
-            dev_rows = decode_batch_device(
-                y_trues, y_preds, class_num, conf_threshold, nms_mode,
-                nms_threshold, nms_sigma, version,
-                max_boxes=device_max_boxes)
 
+        if device:
+            gts, detections = self._collect_device(
+                y_trues, y_preds, class_num, conf_threshold, nms_mode,
+                nms_threshold, nms_sigma, iou_threshold, max_per_img,
+                version, device_max_boxes)
+        else:
+            gts, detections = self._collect_host(
+                y_trues, y_preds, class_num, conf_threshold, nms_mode,
+                nms_threshold, nms_sigma, iou_threshold, max_per_img,
+                version)
+
+        # running precision/recall sweep, terminal point appended —
+        # vectorized over the sorted detections (cumulative counts
+        # reproduce the reference's per-detection loop exactly,
+        # measurement.py:297-323)
+        self.precisions, self.recalls = [], []
+        for ci in range(class_num):
+            p, r = self._pr_sweep(detections[ci], gts[ci],
+                                  precision_mode)
+            self.precisions.append(p)
+            self.recalls.append(r)
+
+    @staticmethod
+    def _collect_host(y_trues, y_preds, class_num, conf_threshold,
+                      nms_mode, nms_threshold, nms_sigma,
+                      iou_threshold, max_per_img, version):
+        """Per-image host decode + match: (gts, per-class
+        (conf, gt_id, hit) detection rows)."""
         gts = [0] * class_num
         detections = [np.empty((0, 3), dtype="float32")
                       for _ in range(class_num)]
 
         for i_img in range(len(y_trues)):
-            if dev_rows is not None:
-                true_rows, pred_rows = (dev_rows[0][i_img],
-                                        dev_rows[1][i_img])
-            else:
-                pred_list = [y_preds[j][i_img]
-                             for j in range(len(y_preds))]
-                true_rows, pred_rows = _decode_pair(
-                    y_trues[i_img], pred_list, class_num,
-                    conf_threshold, nms_mode, nms_threshold,
-                    nms_sigma, version)
+            pred_list = [y_preds[j][i_img]
+                         for j in range(len(y_preds))]
+            true_rows, pred_rows = _decode_pair(
+                y_trues[i_img], pred_list, class_num,
+                conf_threshold, nms_mode, nms_threshold,
+                nms_sigma, version)
             true_rows, true_cls = _split_rows(true_rows)
             pred_rows, pred_cls = _split_rows(pred_rows)
 
@@ -253,39 +300,95 @@ class PRfunc:
                     order = np.argsort(rows[:, 0])[::-1]
                     rows = rows[order][:max_per_img]
                 detections[ci] = np.vstack((detections[ci], rows))
+        return gts, detections
 
-        # running precision/recall sweep, terminal point appended
-        self.precisions, self.recalls = [], []
-        for ci in range(class_num):
-            num_gts = gts[ci]
-            rows = detections[ci]
-            order = np.argsort(rows[:, 0])[::-1]
-            rows = rows[order]
-            precisions, recalls = [], []
-            seen_gt = set()
-            num_tpp = 0
-            num_tp = 0
-            for k in range(len(rows)):
-                conf, gt_id, hit = rows[k]
-                if hit:
-                    num_tpp += 1
-                    if gt_id not in seen_gt:
-                        seen_gt.add(gt_id)
-                        num_tp += 1
-                dets = k + 1
-                fp = dets - num_tpp
-                if precision_mode == 0:
-                    precision = num_tpp / dets
-                elif precision_mode == 1:
-                    precision = num_tp / (num_tp + fp)
-                else:
-                    precision = num_tp / dets
-                precisions.append(precision)
-                recalls.append(num_tp / num_gts if num_gts else 0.0)
-            precisions.append(0)
-            recalls.append(num_tp / num_gts if num_gts else 0.0)
-            self.precisions.append(np.array(precisions))
-            self.recalls.append(np.array(recalls))
+    @staticmethod
+    def _collect_device(y_trues, y_preds, class_num, conf_threshold,
+                        nms_mode, nms_threshold, nms_sigma,
+                        iou_threshold, max_per_img, version,
+                        device_max_boxes):
+        """Batched device decode + NMS + matching (ops/evalmatch.py),
+        then vectorized NumPy grouping — zero per-image host Python.
+        GT ids are globally unique (image x padded-row offset), which
+        is uniqueness-equivalent to the host path's per-class running
+        ids, so the PR sweep is unchanged."""
+        from ..ops.evalmatch import match_pred_arrays
+
+        gts = np.zeros(class_num, dtype=np.int64)
+        cols = []                      # (conf, cls, hit, gt_id, img)
+        for lo, t_rows, t_valid, p_rows, p_valid in _device_chunks(
+                y_trues, y_preds, class_num, conf_threshold, nms_mode,
+                nms_threshold, nms_sigma, version, device_max_boxes,
+                64):
+            got = match_pred_arrays(t_rows, t_valid, p_rows, p_valid,
+                                    iou_threshold)
+            t_rows = np.asarray(t_rows)
+            t_cls = t_rows[..., 5].astype(int)[np.asarray(t_valid)]
+            gts += np.bincount(t_cls, minlength=class_num)
+
+            valid = np.asarray(got["valid"])
+            n_img, n_box = valid.shape
+            img = np.broadcast_to(
+                lo + np.arange(n_img)[:, None], valid.shape)
+            gt_id = (img * t_rows.shape[1]
+                     + np.asarray(got["best_gt"]))
+            cols.append(np.stack([
+                np.asarray(got["joint_conf"], np.float64)[valid],
+                np.asarray(got["cls"], np.float64)[valid],
+                np.asarray(got["hit"], np.float64)[valid],
+                gt_id.astype(np.float64)[valid],
+                img.astype(np.float64)[valid],
+            ], axis=1))
+
+        flat = (np.concatenate(cols) if cols
+                else np.zeros((0, 5), np.float64))
+        if max_per_img is not None and len(flat):
+            # per-(image, class) top-max_per_img by joint confidence:
+            # group rows by (img, cls), rank within group, keep top-k
+            order = np.lexsort((-flat[:, 0], flat[:, 1], flat[:, 4]))
+            flat = flat[order]
+            n = len(flat)
+            newg = np.ones(n, bool)
+            newg[1:] = ((flat[1:, 4] != flat[:-1, 4])
+                        | (flat[1:, 1] != flat[:-1, 1]))
+            gstart = np.maximum.accumulate(
+                np.where(newg, np.arange(n), 0))
+            flat = flat[np.arange(n) - gstart < max_per_img]
+        detections = [flat[flat[:, 1] == ci][:, [0, 3, 2]]
+                      for ci in range(class_num)]
+        return list(gts), detections
+
+    @staticmethod
+    def _pr_sweep(rows, num_gts, precision_mode):
+        """Vectorized running precision/recall over conf-sorted
+        detection rows (conf, gt_id, hit); appends the terminal
+        (0, last-recall) point like the reference."""
+        order = np.argsort(rows[:, 0])[::-1]
+        rows = rows[order]
+        k = len(rows)
+        hit = rows[:, 2] > 0
+        dets = np.arange(1, k + 1, dtype=np.int64)
+        num_tpp = np.cumsum(hit.astype(np.int64))
+        # first-in-sweep occurrence of each matched GT -> unique TP
+        new = np.zeros(k, dtype=bool)
+        h_idx = np.nonzero(hit)[0]
+        if len(h_idx):
+            _, first = np.unique(rows[h_idx, 1], return_index=True)
+            new[h_idx[first]] = True
+        num_tp = np.cumsum(new.astype(np.int64))
+        fp = dets - num_tpp
+        if precision_mode == 0:
+            precisions = num_tpp / dets
+        elif precision_mode == 1:
+            # num_tp + fp >= 1 whenever k >= 1 (first hit is unique)
+            precisions = num_tp / (num_tp + fp)
+        else:
+            precisions = num_tp / dets
+        recalls = (num_tp / num_gts if num_gts
+                   else np.zeros(k, dtype=np.float64))
+        precisions = np.append(precisions, 0)
+        recalls = np.append(recalls, recalls[-1] if k else 0.0)
+        return precisions, recalls
 
     # ------------------------------------------------------------------
     def __call__(self, recall, class_idx=0):
