@@ -17,10 +17,11 @@ from tf2_yolo_tpu.models.layers import ConvBN
 from tf2_yolo_tpu.export import (fold_batch_norm, calibrate_int8,
                                  make_serving_fn)
 
-rng = np.random.RandomState(0)
-
-
 def test_convbn_quant_matches_float():
+    # per-test RNG: a shared module rng made each test's data depend
+    # on which tests ran before it (the int8 agreement margin is data
+    # -sensitive on untrained nets -> full-suite-only flakes)
+    rng = np.random.RandomState(0)
     m = ConvBN(features=24, kernel=3, act="leaky")
     x = jnp.asarray(rng.rand(2, 16, 16, 12) * 2 - 1, jnp.float32)
     v = m.init(jax.random.PRNGKey(0), x, train=False)
@@ -34,6 +35,7 @@ def test_convbn_quant_matches_float():
 
 def test_convbn_quant_darknet_stride2():
     m = ConvBN(features=16, kernel=3, strides=2, act="mish")
+    rng = np.random.RandomState(1)
     x = jnp.asarray(rng.rand(1, 8, 8, 8), jnp.float32)
     v = m.init(jax.random.PRNGKey(1), x, train=False)
     _, aux = m.apply(v, x, train=False, mutable=["quant_calib"])
@@ -46,6 +48,7 @@ def test_convbn_quant_darknet_stride2():
 
 def test_calibration_is_noop_without_mutable():
     m = ConvBN(features=8, kernel=1)
+    rng = np.random.RandomState(2)
     x = jnp.asarray(rng.rand(1, 4, 4, 8), jnp.float32)
     v = m.init(jax.random.PRNGKey(2), x, train=False)
     out = m.apply(v, x, train=False)       # no mutable: sow skipped
@@ -54,6 +57,7 @@ def test_calibration_is_noop_without_mutable():
 
 @pytest.fixture(scope="module")
 def tiny_v4():
+    rng = np.random.RandomState(3)
     anchors = np.stack([np.linspace(0.1, 0.8, 9),
                         np.linspace(0.1, 0.7, 9)], axis=1)
     module = YoloV4(anchors=anchors, class_num=2)
@@ -91,6 +95,7 @@ def test_calibrate_int8_yolov3_family():
     anchors = np.stack([np.linspace(0.1, 0.8, 9),
                         np.linspace(0.1, 0.7, 9)], axis=1)
     module = YoloV3(anchors=anchors, class_num=2)
+    rng = np.random.RandomState(4)
     x = jnp.asarray(rng.rand(2, 96, 96, 3), jnp.float32)
     variables = fold_batch_norm(
         module.init(jax.random.PRNGKey(3), x[:1], train=False))
@@ -127,6 +132,7 @@ def test_calibrate_int8_single_level_families(version):
                             np.linspace(0.2, 0.5, 2)], axis=1)
         module = YoloV2(anchors=anchors, class_num=2)
         size = 96
+    rng = np.random.RandomState(10 + version)
     x = jnp.asarray(rng.rand(2, size, size, 3), jnp.float32)
     variables = fold_batch_norm(
         module.init(jax.random.PRNGKey(4), x[:1], train=False))
