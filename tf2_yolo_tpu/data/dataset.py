@@ -88,7 +88,8 @@ class YoloDataSequence:
                  seed=None,
                  encoding="big5",
                  thread_num=1,
-                 show_progress=False):
+                 show_progress=False,
+                 uint8=False):
         self.img_path = img_path
         self.label_path = label_path
         self.reader = reader
@@ -104,6 +105,12 @@ class YoloDataSequence:
         self.encoding = encoding
         self.thread_num = thread_num
         self.show_progress = show_progress
+        # uint8=True: emit RAW uint8 image batches (rescale NOT
+        # applied host-side) — the engine normalizes on device
+        # (Model input_rescale), shipping 1 byte/pixel instead of 8
+        # (f64) to the accelerator feed. Bit-identical training: the
+        # device computes the same u8 -> f32 * rescale product.
+        self.uint8 = bool(uint8)
 
         if reader not in ("cv", "PIL", "native"):
             raise ValueError(f"Invalid reader: {reader}")
@@ -269,7 +276,7 @@ class YoloDataSequence:
             self.class_names,
             threads=max(1, min(self.thread_num,
                                os.cpu_count() or 1)))
-        img_batch = imgs.astype(np.float64)
+        img_batch = imgs if self.uint8 else imgs.astype(np.float64)
         label_batch = labels.astype(np.float64)
         return img_batch, label_batch
 
@@ -289,11 +296,12 @@ class YoloDataSequence:
             if self.show_progress:
                 print(f"\r{min(100, ceil((start + bsz) / total * 100)):3d}"
                       "% read", end="")
-            if self.rescale is not None:
+            if not self.uint8 and self.rescale is not None:
                 img_batch = img_batch * self.rescale
             return img_batch, label_batch
 
-        img_batch = np.empty((bsz, *self.size, 3))
+        img_batch = np.empty((bsz, *self.size, 3),
+                             np.uint8 if self.uint8 else np.float64)
         label_batch = np.zeros((bsz, *self.grid_shape,
                                 5 + self.class_num))
 
@@ -326,7 +334,7 @@ class YoloDataSequence:
             print(f"\r{min(100, ceil((start + bsz) / total * 100)):3d}% "
                   "read", end="")
 
-        if self.rescale is not None:
+        if not self.uint8 and self.rescale is not None:
             img_batch = img_batch * self.rescale
         return img_batch, label_batch
 

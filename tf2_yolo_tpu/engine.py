@@ -26,6 +26,57 @@ from .parallel.train import (TrainState, create_train_state,
                              make_optimizer)
 
 
+def _prefetch_iterator(it, depth):
+    """Run ``it`` (which performs host->device batch placement) on a
+    background thread with a bounded look-ahead of ``depth`` items, so
+    the next batches' numpy conversion + device transfer overlap the
+    in-flight train steps (the standard device-feed pipeline; the
+    transfer itself is async under JAX, but the host-side slicing /
+    casting / tunnel writes are not). Exceptions from the source
+    iterator re-raise in the consumer; abandoning the generator stops
+    the worker promptly (no deadlock on a full queue)."""
+    import queue
+    import threading
+
+    q = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    sentinel = object()
+    err = []
+
+    def _put(item):
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def worker():
+        try:
+            for item in it:
+                if not _put(item):
+                    return
+        except BaseException as e:     # propagate reader errors
+            err.append(e)
+        finally:
+            _put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True,
+                         name="tf2yolo-fit-prefetch")
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+
+
 def _metric_name(fn, prefix=""):
     name = getattr(fn, "__name__", "metric")
     return f"{prefix}{name}"
@@ -290,9 +341,16 @@ class Model:
         seed: PRNG seed for init.
     """
 
-    def __init__(self, module, input_shape, seed=0):
+    def __init__(self, module, input_shape, seed=0,
+                 input_rescale=1 / 255):
         self.module = module
         self.input_shape = tuple(input_shape)
+        # uint8 image batches normalize ON DEVICE with this factor
+        # (x.astype(f32) * input_rescale) in fit/evaluate/predict —
+        # the host ships 1 byte/pixel instead of 4, a 4x feed-
+        # bandwidth win, bit-identical to host-side rescale. Float
+        # inputs are assumed already preprocessed and pass through.
+        self.input_rescale = float(input_rescale)
         x0 = jnp.zeros((1, *self.input_shape), jnp.float32)
         self.variables = module.init(jax.random.PRNGKey(seed), x0,
                                      train=False)
@@ -376,7 +434,8 @@ class Model:
     def compile(self, optimizer="adam", loss=None, metrics=None,
                 learning_rate=1e-4, frozen=None,
                 accumulate_steps=1, ema_decay=None, xla_options=None,
-                n_model=1, tp_min_channels=128):
+                n_model=1, tp_min_channels=128,
+                bn_stats_sg_scope=None):
         """Configure training.
 
         Args:
@@ -402,6 +461,24 @@ class Model:
                 GSPMD inserts the contraction all-reduces.
             tp_min_channels: smallest out-channel count that shards
                 over the model axis (only used when n_model > 1).
+            bn_stats_sg_scope: opt-in frozen-statistics BatchNorm
+                BACKWARD (models/layers.py
+                ``set_bn_stats_stop_gradient``, scoped to this
+                model's train step only). ``"backbone"`` applies it
+                to ConvBN modules whose flax path contains that name
+                (a tuple of names also works); ``True`` applies it
+                everywhere; ``None`` (default) keeps exact BN
+                gradients. The forward/loss/running stats are
+                IDENTICAL — only the backward drops the
+                batch-statistics term, removing the per-layer
+                activation re-read reductions (measured +9.7% YOLOv4
+                train throughput with ``"backbone"``, 449->493 img/s
+                @416/b128 on v5e). Convergence is config-dependent:
+                the measured matrix (BASELINE.md "frozen-stats BN
+                backward") shows v4+"backbone" converging identically
+                at matched budget, v2/v3 slightly SLOWER to a target,
+                v1 and unscoped FAILING — treat it as a
+                per-family-validated knob, not a free win.
         """
         if loss is None:
             raise ValueError("compile() requires a loss")
@@ -451,12 +528,27 @@ class Model:
         self._metric_names = metric_names
 
         step = make_train_step(self.module.apply, self._tx, loss_fns,
-                               metric_fns, metric_names)
+                               metric_fns, metric_names,
+                               input_rescale=self.input_rescale)
+        if bn_stats_sg_scope is not None:
+            from .models.layers import bn_stats_sg_ctx
+            scope = (None if bn_stats_sg_scope is True
+                     else bn_stats_sg_scope)
+            base_step = step
+
+            def step(state, x, ys, _step=base_step, _scope=scope):
+                # the knob is read at trace time; wrapping the step
+                # body scopes it to exactly this program (no leaked
+                # process-global state)
+                with bn_stats_sg_ctx(True, _scope):
+                    return _step(state, x, ys)
+        self._bn_stats_sg_scope = bn_stats_sg_scope
         self._train_step = jax.jit(step, donate_argnums=0,
                                    compiler_options=xla_options)
         self._eval_step = jax.jit(
             make_eval_step(self.module.apply, loss_fns, metric_fns,
-                           metric_names),
+                           metric_names,
+                           input_rescale=self.input_rescale),
             compiler_options=xla_options)
         self._state = None        # reset optimizer state
 
@@ -515,6 +607,15 @@ class Model:
         return shard
 
     @staticmethod
+    def _as_feed(arr):
+        """Image batch -> device array, preserving uint8 (normalized
+        on device by the compiled step, see ``input_rescale``)."""
+        arr = np.asarray(arr)
+        if arr.dtype == np.uint8:
+            return jnp.asarray(arr)
+        return jnp.asarray(arr, jnp.float32)
+
+    @staticmethod
     def _place(arr, shard):
         """Put one batch array on the mesh. Single process: a plain
         sharded device_put. Multi-process: ``arr`` holds only THIS
@@ -551,7 +652,8 @@ class Model:
             profile_dir=None, checkpoint_dir=None,
             checkpoint_every=None, checkpoint_async=False,
             checkpoint_keep=3, resume=False,
-            checkpoint_on_interrupt=False, callbacks=None):
+            checkpoint_on_interrupt=False, callbacks=None,
+            prefetch=0):
         """Train. ``x`` is an ndarray (with ``y`` labels, list for
         multi-output models) or a sequence yielding (img, labels).
 
@@ -593,7 +695,12 @@ class Model:
                 train step finishes, the full state is checkpointed,
                 and fit() returns cleanly — the TPU-preemption survival
                 hook (cloud TPUs deliver SIGTERM ahead of eviction).
-                Pair with ``resume=True`` on restart.
+                Pair with ``resume=True`` on restart. Multi-process
+                runs: the interrupt save is a COLLECTIVE Orbax save,
+                so EVERY process must receive the signal (true for
+                cloud preemption, which signals all hosts); manually
+                signalling a single worker would leave it waiting at
+                the distributed barrier until the client times out.
             callbacks: keras-style callback objects; recognized hooks
                 are ``on_epoch_begin(epoch, model)``,
                 ``on_epoch_end(epoch, logs, model)`` and
@@ -608,6 +715,13 @@ class Model:
                 yielding ``(img, labels)`` batches (e.g. from
                 ``read_file_to_sequence``); evaluated each epoch into
                 ``val_*`` history keys.
+            prefetch: look-ahead depth (batches) for the device feed.
+                0 (default) converts/transfers each batch inline;
+                N > 0 runs the host->device placement of the next N
+                batches on a background thread so it overlaps the
+                in-flight train steps. Useful when feeding is
+                comparable to the step time (see tools/bench_fit.py
+                and the BASELINE.md fit-throughput rows).
 
         Multi-process runs (``parallel.distributed_initialize``, one
         process per host): every process calls fit() with its OWN
@@ -711,18 +825,34 @@ class Model:
                 else:
                     iterator = self._batches(np.asarray(x), y,
                                              batch_size, shuffle, rng)
-                for batch_i, (xb, yb) in enumerate(iterator):
-                    if skip_batches:    # mid-epoch resume: replay the
-                        skip_batches -= 1   # order, skip trained steps
-                        continue
-                    xb = jnp.asarray(xb, jnp.float32)
-                    yb_t = tuple(jnp.asarray(v, jnp.float32)
-                                 for v in yb) \
-                        if isinstance(yb, (list, tuple)) \
-                        else (jnp.asarray(yb, jnp.float32),)
-                    shard = self._shard_for(xb.shape[0])
-                    xb = self._place(xb, shard)
-                    yb_t = tuple(self._place(v, shard) for v in yb_t)
+
+                def _placed(pairs):
+                    for xb, yb in pairs:
+                        xb = self._as_feed(xb)
+                        yb_t = tuple(jnp.asarray(v, jnp.float32)
+                                     for v in yb) \
+                            if isinstance(yb, (list, tuple)) \
+                            else (jnp.asarray(yb, jnp.float32),)
+                        shard = self._shard_for(xb.shape[0])
+                        yield (self._place(xb, shard),
+                               tuple(self._place(v, shard)
+                                     for v in yb_t))
+
+                # mid-epoch resume: replay the epoch's batch order but
+                # skip (without transferring) the already-trained steps
+                skip_now, skip_batches = skip_batches, 0
+                if skip_now:
+                    import itertools
+                    iterator = itertools.islice(iterator, skip_now,
+                                                None)
+                placed = _placed(iterator)
+                if prefetch:
+                    # look-ahead device feed: host conversion +
+                    # transfer of the next `prefetch` batches overlap
+                    # the running steps
+                    placed = _prefetch_iterator(placed, int(prefetch))
+                for batch_i, (xb, yb_t) in enumerate(placed,
+                                                     start=skip_now):
                     self._state, logs = self._train_step(
                         self._state, xb, yb_t)
                     logs_acc.append(logs)
@@ -814,7 +944,7 @@ class Model:
                                      np.random.RandomState(0))
         logs_sum, steps = {}, 0
         for xb, yb in iterator:
-            xb = jnp.asarray(xb, jnp.float32)
+            xb = self._as_feed(xb)
             yb_t = tuple(jnp.asarray(v, jnp.float32) for v in yb) \
                 if isinstance(yb, (list, tuple)) \
                 else (jnp.asarray(yb, jnp.float32),)
@@ -836,12 +966,18 @@ class Model:
         returns ndarray or list of ndarrays (multi-output), rows
         aligned with ``x``."""
         if self._predict_jit is None:
-            self._predict_jit = jax.jit(
-                lambda v, xb: self.module.apply(v, xb, train=False))
+            from .parallel.train import _cast_input
+
+            def _fwd(v, xb, _rs=self.input_rescale):
+                return self.module.apply(v, _cast_input(xb, _rs),
+                                         train=False)
+            self._predict_jit = jax.jit(_fwd)
         variables = {"params": self.params,
                      "batch_stats": self.batch_stats}
 
-        x = np.asarray(x, np.float32)
+        x = np.asarray(x)
+        if x.dtype != np.uint8:
+            x = x.astype(np.float32, copy=False)
         n = x.shape[0]
         if n == 0:
             shapes = (self.output_shapes

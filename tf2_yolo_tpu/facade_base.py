@@ -158,12 +158,15 @@ class YoloBase:
             self, img_path=None, label_path=None,
             label_format="labelimg", rescale=1 / 255,
             preprocessing=None, shuffle=True, seed=None,
-            encoding="big5", thread_num=10):
+            encoding="big5", thread_num=10, reader="PIL"):
         """Read a whole annotation folder into ndarrays.
 
         Returns (img, label) for single-level versions, or
         (img, [label_coarse, ..., label_fine]) for v3/v4
-        (reference yolov3/__init__.py:183-249).
+        (reference yolov3/__init__.py:183-249). ``reader``: "PIL"
+        (default), "cv", or "native" (the C++ decode+parse+encode fast
+        path, tf2_yolo_tpu/native — see tools/bench_reader.py for
+        measured rates).
         """
         seq = YoloDataSequence(
             img_path=img_path, label_path=label_path,
@@ -171,7 +174,7 @@ class YoloBase:
             rescale=rescale, preprocessing=preprocessing,
             grid_shape=self._finest_grid(),
             class_names=self.class_names, shuffle=shuffle, seed=seed,
-            encoding=encoding, thread_num=thread_num,
+            encoding=encoding, thread_num=thread_num, reader=reader,
             show_progress=True)
         self.file_names = seq.path_list
         seq.batch_size = max(len(seq.path_list), 1)
@@ -189,8 +192,13 @@ class YoloBase:
             self, img_path=None, label_path=None, batch_size=20,
             label_format="labelimg", rescale=1 / 255,
             preprocessing=None, augmenter=None, shuffle=True,
-            seed=None, encoding="big5", thread_num=1):
-        """Lazy batched reader; v3/v4 emit the label pyramid per batch."""
+            seed=None, encoding="big5", thread_num=1, reader="PIL",
+            uint8=False):
+        """Lazy batched reader; v3/v4 emit the label pyramid per batch.
+        ``reader="native"`` selects the whole-batch C++ fast path;
+        ``uint8=True`` emits raw uint8 image batches that the engine
+        normalizes ON DEVICE (4x less feed traffic — see
+        ``engine.Model`` ``input_rescale``)."""
         seq = YoloDataSequence(
             img_path=img_path, label_path=label_path,
             batch_size=batch_size, label_format=label_format,
@@ -199,7 +207,7 @@ class YoloBase:
             grid_shape=self._finest_grid(),
             class_names=self.class_names, augmenter=augmenter,
             shuffle=shuffle, seed=seed, encoding=encoding,
-            thread_num=thread_num)
+            thread_num=thread_num, reader=reader, uint8=uint8)
         self.file_names = seq.path_list
         if self.num_levels == 1:
             return seq
