@@ -114,11 +114,12 @@ def main():
     if PACKED:
         from tf2_yolo_tpu.models.layers import set_packed_early
         set_packed_early(True, p2=PACKED == 2, p3=PACKED >= 3)
-    if BN_SG:
-        from tf2_yolo_tpu.models.layers import set_bn_stats_stop_gradient
-        set_bn_stats_stop_gradient(
-            True, scope=(tuple(BN_SG_SCOPE.split(","))
-                         if BN_SG_SCOPE else None))
+    # frozen-stats BN backward goes through the same scoped context
+    # the public API (Model.compile(bn_stats_sg_scope=)) uses
+    from tf2_yolo_tpu.models.layers import bn_stats_sg_ctx
+    bn_sg_main = bn_stats_sg_ctx(
+        BN_SG, scope=(tuple(BN_SG_SCOPE.split(","))
+                      if BN_SG and BN_SG_SCOPE else None))
 
     anchors = np.stack([np.linspace(0.05, 0.75, 9),
                         np.linspace(0.07, 0.65, 9)], axis=1)
@@ -156,8 +157,9 @@ def main():
     # the cost-analysis read below (no second compile).
     opts = XLA_OPTS if (platform != "cpu"
                         or "BENCH_XLA_OPTS" in os.environ) else {}
-    step = step.lower(state, x, ys).compile(
-        compiler_options=opts or None)
+    with bn_sg_main:            # knob is read when .lower() traces
+        step = step.lower(state, x, ys).compile(
+            compiler_options=opts or None)
 
     for _ in range(WARMUP):
         state, logs = step(state, x, ys)
@@ -193,9 +195,7 @@ def main():
     bn_sg_rate = None
     if (platform != "cpu" and not BN_SG and ACCUM == 1
             and os.environ.get("BENCH_SKIP_BN_SG") != "1"):
-        from tf2_yolo_tpu.models.layers import set_bn_stats_stop_gradient
-        set_bn_stats_stop_gradient(True, scope="backbone")
-        try:
+        with bn_stats_sg_ctx(True, scope="backbone"):
             module2 = YoloV4(
                 anchors=anchors, class_num=CLASSES,
                 remat=os.environ.get("BENCH_REMAT") == "1",
@@ -208,16 +208,14 @@ def main():
                 donate_argnums=0)
             step2 = step2.lower(state2, x, ys).compile(
                 compiler_options=opts or None)
-            for _ in range(WARMUP):
-                state2, logs2 = step2(state2, x, ys)
-            jax.block_until_ready(logs2["loss"])
-            t1 = time.perf_counter()
-            for _ in range(STEPS):
-                state2, logs2 = step2(state2, x, ys)
-            jax.block_until_ready(logs2["loss"])
-            bn_sg_rate = BATCH * STEPS / (time.perf_counter() - t1)
-        finally:
-            set_bn_stats_stop_gradient(False)
+        for _ in range(WARMUP):
+            state2, logs2 = step2(state2, x, ys)
+        jax.block_until_ready(logs2["loss"])
+        t1 = time.perf_counter()
+        for _ in range(STEPS):
+            state2, logs2 = step2(state2, x, ys)
+        jax.block_until_ready(logs2["loss"])
+        bn_sg_rate = BATCH * STEPS / (time.perf_counter() - t1)
 
     # model FLOP utilization from XLA's own cost analysis of the
     # timed executable (fwd + bwd + Adam), vs v5e bf16 peak

@@ -179,3 +179,76 @@ def test_predict_ragged_batches_mesh_padded():
     one = yolo.model.predict(x[:1], batch_size=32)
     assert one.shape[0] == 1
     np.testing.assert_allclose(one, whole[:1], rtol=1e-5, atol=1e-6)
+
+
+def test_compile_bn_stats_sg_scope(dataset):
+    """compile(bn_stats_sg_scope=...): the frozen-stats BN backward is
+    reachable from the public API, scoped to the compiled step (no
+    leaked module-global state), forward/loss unchanged on the first
+    step, gradients changed."""
+    from tf2_yolo_tpu import yolov2
+    from tf2_yolo_tpu.models import layers
+
+    img_dir, lab_dir = dataset
+
+    def build():
+        yolo = yolov2.Yolo(input_shape=(96, 96, 3),
+                           class_names=["square", "bar"])
+        yolo.create_model(anchors=[[0.2, 0.2], [0.35, 0.1]])
+        return yolo
+
+    yolo_a, yolo_b = build(), build()
+    img, label = yolo_a.read_file_to_dataset(
+        img_dir, lab_dir, encoding="utf-8", shuffle=False)
+
+    yolo_a.model.compile("sgd", learning_rate=1e-2,
+                         loss=yolo_a.loss())
+    yolo_b.model.compile("sgd", learning_rate=1e-2,
+                         loss=yolo_b.loss(),
+                         bn_stats_sg_scope="backbone")
+    hist_a = yolo_a.model.fit(img, label, epochs=1, batch_size=8,
+                              shuffle=False, verbose=0)
+    hist_b = yolo_b.model.fit(img, label, epochs=1, batch_size=8,
+                              shuffle=False, verbose=0)
+    # the trace-time knob did not leak into process state
+    assert layers.BN_STATS_SG is False
+    assert layers.BN_STATS_SG_SCOPE is None
+    # forward (and thus the first-step loss) is IDENTICAL — only the
+    # backward differs
+    np.testing.assert_allclose(hist_a["loss"][0], hist_b["loss"][0],
+                               rtol=1e-6)
+    # and the backward really differs: updated backbone params diverge
+    import jax
+    pa = jax.tree_util.tree_leaves(
+        yolo_a.model._state.params["backbone"])
+    pb = jax.tree_util.tree_leaves(
+        yolo_b.model._state.params["backbone"])
+    assert any(not np.allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-12)
+               for a, b in zip(pa, pb))
+
+
+def test_fit_prefetch_matches_inline(dataset):
+    """fit(prefetch=N) (background device feed) trains the identical
+    trajectory as the inline feed — same batches, same compiled step."""
+    from tf2_yolo_tpu import yolov2
+
+    img_dir, lab_dir = dataset
+
+    def run(prefetch):
+        yolo = yolov2.Yolo(input_shape=(96, 96, 3),
+                           class_names=["square", "bar"])
+        yolo.create_model(anchors=[[0.2, 0.2], [0.35, 0.1]])
+        img, label = yolo.read_file_to_dataset(
+            img_dir, lab_dir, encoding="utf-8", shuffle=False)
+        yolo.model.compile("adam", learning_rate=1e-3,
+                           loss=yolo.loss())
+        hist = yolo.model.fit(img, label, epochs=2, batch_size=4,
+                              shuffle=True, seed=7, verbose=0,
+                              prefetch=prefetch)
+        return hist, yolo.model.predict(img[:2])
+
+    h0, p0 = run(0)
+    h2, p2 = run(2)
+    np.testing.assert_allclose(h0["loss"], h2["loss"], rtol=1e-6)
+    np.testing.assert_allclose(p0, p2, rtol=1e-6, atol=1e-7)

@@ -134,6 +134,27 @@ def set_bn_stats_stop_gradient(on, scope=None):
                              else tuple(scope))
 
 
+from contextlib import contextmanager     # noqa: E402
+
+
+@contextmanager
+def bn_stats_sg_ctx(on, scope=None):
+    """Scoped (set/restore) form of :func:`set_bn_stats_stop_gradient`.
+
+    The knob is read at TRACE time, so wrapping the code that traces a
+    train step (a ``jit``-ed step body, or an explicit ``.lower()``)
+    pins the setting to THAT program without leaking process-wide
+    state — the safe form ``Model.compile(bn_stats_sg_scope=...)`` and
+    bench.py build on."""
+    prev = (BN_STATS_SG, BN_STATS_SG_SCOPE)
+    set_bn_stats_stop_gradient(on, scope)
+    try:
+        yield
+    finally:
+        set_bn_stats_stop_gradient(prev[0])
+        globals()["BN_STATS_SG_SCOPE"] = prev[1]
+
+
 def mish(x):
     """Mish activation x * tanh(softplus(x))
     (reference yolov4/models/backbone.py:22-37) — training-mode form.
