@@ -83,6 +83,9 @@ def _step_dirs(path: str):
 
 
 def _prune(path: str, keep: int) -> None:
+    # keep < 1 would make entries[:-keep] an empty/backwards slice and
+    # silently keep everything — the latest checkpoint is always kept
+    keep = max(int(keep), 1)
     for stale in _step_dirs(path)[:-keep]:
         import shutil
         shutil.rmtree(os.path.join(path, stale))
@@ -123,6 +126,11 @@ def save_checkpoint(path: str, state, keep: int = 3,
         _prune(path, keep)   # old committed steps only (_step_dirs
         #                      skips the tmp dir of the write in flight)
     else:
+        # fence in-flight async writes first: otherwise _prune here can
+        # race a background commit (a pruned step dir reappearing after
+        # its rename-commit), and a same-step blocking save could
+        # collide with its async write in flight
+        wait_for_saves()
         ocp.PyTreeCheckpointer().save(ckpt_dir, state._asdict(),
                                       force=True)
         _prune(path, keep)
