@@ -28,8 +28,29 @@ if "xla_cpu_collective_call_terminate_timeout_seconds" not in _flags:
     # the process-killing deadline is raised.
     _flags += " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
 os.environ["XLA_FLAGS"] = _flags.strip()
-# persistent compile cache: repeat suite runs skip XLA recompiles
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+# persistent compile cache: repeat suite runs skip XLA recompiles.
+# The cache dir is keyed by a hash of the host's CPU feature flags:
+# this VM migrates between hosts with DIFFERENT CPU features, and
+# XLA:CPU AOT entries compiled on one host abort the process
+# ("SIGILL" / Fatal Python error) when loaded on the other — a
+# per-machine cache sidesteps the poisoning (CLAUDE.md env notes).
+
+
+def _cpu_cache_dir():
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    tag = hashlib.sha1(
+                        line.encode()).hexdigest()[:10]
+                    return f"/tmp/jax_test_cache_{tag}"
+    except OSError:
+        pass
+    return "/tmp/jax_test_cache"
+
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cpu_cache_dir())
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 os.environ["JAX_PLATFORMS"] = "cpu"
