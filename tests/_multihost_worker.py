@@ -19,8 +19,21 @@ def main():
     pid, nprocs, port, out_path = (int(sys.argv[1]), int(sys.argv[2]),
                                    sys.argv[3], sys.argv[4])
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          "/tmp/jax_test_cache")
+    # per-CPU-feature cache dir (see tests/conftest.py: this VM
+    # migrates across hosts and foreign AOT entries abort the process)
+    import hashlib
+    tag = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    tag = "_" + hashlib.sha1(
+                        line.encode()).hexdigest()[:10]
+                    break
+    except OSError:
+        pass
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = \
+        f"/tmp/jax_test_cache{tag}"
     import jax
     jax.config.update("jax_platforms", "cpu")
 
@@ -90,6 +103,34 @@ def main():
         m.compile(optimizer="adam", learning_rate=1e-3,
                   loss=wrap_yolo_loss_v2((g, g), 5, classes, anchors))
         return m
+
+    # ONE full-batch train step from the same init (global batch 16 =
+    # 8 rows per process): the only cross-process numeric difference
+    # is collective reduction order (~1e-6 relative), so the parent
+    # asserts TIGHT equality of the step-1 loss and updated-parameter
+    # digest against the single-process oracle — the per-step
+    # correctness bound that the (BN-chaotic) multi-step trajectory
+    # check cannot give.
+    model_s = fresh()
+    hist_s = model_s.fit(x[sl], y[sl], epochs=1, batch_size=8,
+                         shuffle=False, verbose=0)
+    ls = jax.tree_util.tree_leaves(model_s.variables)
+    digest["step1_loss"] = hist_s["loss"][0]
+    digest["step1_abs_sum"] = float(
+        sum(np.abs(np.float64(np.asarray(l))).sum() for l in ls))
+
+    # multi-process x tensor parallelism: the same step over a GLOBAL
+    # ("data" 4, "model" 2) mesh spanning both processes — the
+    # composition the engine must support on real pods. Same global
+    # computation, so the loss must match the DP step above.
+    model_tp = fresh()
+    model_tp.compile(optimizer="adam", learning_rate=1e-3,
+                     loss=wrap_yolo_loss_v2((g, g), 5, classes,
+                                            anchors),
+                     n_model=2)
+    hist_tp = model_tp.fit(x[sl], y[sl], epochs=1, batch_size=8,
+                           shuffle=False, verbose=0)
+    digest["tp_step1_loss"] = hist_tp["loss"][0]
 
     model_b = fresh()
     model_b.fit(x[sl], y[sl], epochs=1, batch_size=4, shuffle=False,
