@@ -38,7 +38,7 @@ class HeadV1(nn.Module):
         raw = nn.Conv(5 * self.bbox_num + self.class_num, (1, 1),
                       padding="SAME", dtype=self.dtype,
                       param_dtype=jnp.float32,
-                      kernel_init=nn.initializers.he_normal(),
+                      kernel_init=nn.initializers.glorot_uniform(),
                       name="conv")(x)
         raw = raw.astype(jnp.float32)
         xywhc = nn.sigmoid(raw[..., :5 * self.bbox_num])
@@ -62,7 +62,7 @@ class AnchorHead(nn.Module):
     prob_act: str = "sigmoid"
     anchors_as_params: bool = False
     dtype: Any = jnp.float32
-    kernel_init: Any = nn.initializers.he_normal()
+    kernel_init: Any = nn.initializers.glorot_uniform()
 
     @nn.compact
     def __call__(self, x):

@@ -12,6 +12,11 @@ TPU-first notes:
   - BatchNorm uses tf.keras defaults (momentum 0.99, eps 1e-3) for
     weight-transfer parity, and can sync statistics across a mesh axis
     (``bn_axis_name``) for multi-chip training.
+  - conv kernels init with glorot_uniform — the tf.keras default the
+    reference trains from. This is part of the TRAINING RECIPE, not
+    just convention: the round-4 v4 seed matrix measured
+    glorot+Adam-eps-1e-7 at ~2x the holdout mAP of he_normal+1e-8 on
+    32-image training runs (BASELINE.md).
 """
 
 from typing import Any, Optional, Sequence
@@ -200,7 +205,7 @@ class _ConvKernel(nn.Module):
 
     @nn.compact
     def __call__(self, ci):
-        k = self.param("kernel", nn.initializers.he_normal(),
+        k = self.param("kernel", nn.initializers.glorot_uniform(),
                        (self.kernel, self.kernel, ci, self.features),
                        jnp.float32)
         b = self.param("bias", nn.initializers.zeros_init(),
@@ -409,7 +414,7 @@ class ConvBN(nn.Module):
             use_bias=use_bias,
             dtype=self.dtype,
             param_dtype=jnp.float32,
-            kernel_init=nn.initializers.he_normal(),
+            kernel_init=nn.initializers.glorot_uniform(),
             name="conv")(x)
 
         if self.use_bn:
@@ -467,7 +472,7 @@ class ConvActBN(nn.Module):
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     padding="SAME", use_bias=True,
                     dtype=self.dtype, param_dtype=jnp.float32,
-                    kernel_init=nn.initializers.he_normal(),
+                    kernel_init=nn.initializers.glorot_uniform(),
                     name="conv")(x)
         x = _ACTS[self.act](x)
         x = nn.BatchNorm(use_running_average=not train,

@@ -203,13 +203,17 @@ def make_optimizer(optimizer="adam", learning_rate=1e-4,
     if isinstance(optimizer, optax.GradientTransformation):
         tx = optimizer
     elif optimizer == "adam":
-        tx = optax.adam(learning_rate)
+        # eps follows tf.keras (1e-7), not optax's 1e-8: together with
+        # glorot conv init this is the reference TRAINING RECIPE, and
+        # the v4 small-data seed matrix measured the recipe pair worth
+        # ~2x holdout mAP (BASELINE.md round-4 seed matrix)
+        tx = optax.adam(learning_rate, eps=1e-7)
     elif optimizer == "adamw":
-        tx = optax.adamw(learning_rate)
+        tx = optax.adamw(learning_rate, eps=1e-7)
     elif optimizer == "sgd":
         tx = optax.sgd(learning_rate, momentum=0.9)
     elif optimizer == "rmsprop":
-        tx = optax.rmsprop(learning_rate)
+        tx = optax.rmsprop(learning_rate, eps=1e-7)
     else:
         raise ValueError(f"Unknown optimizer: {optimizer}")
 
