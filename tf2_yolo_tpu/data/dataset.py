@@ -21,6 +21,7 @@ Differences by design (TPU-first):
 
 import os
 import threading
+import warnings
 from math import ceil
 
 import numpy as np
@@ -111,6 +112,18 @@ class YoloDataSequence:
         # (f64) to the accelerator feed. Bit-identical training: the
         # device computes the same u8 -> f32 * rescale product.
         self.uint8 = bool(uint8)
+        if self.uint8 and rescale is not None \
+                and not np.isclose(float(rescale), 1 / 255):
+            # host rescale is NOT applied to uint8 batches; training is
+            # only correct when the consuming Model's input_rescale
+            # matches (create_model(input_rescale=...) plumbs it, and
+            # engine.fit cross-checks sequence vs model at feed time).
+            warnings.warn(
+                f"uint8=True skips the host-side rescale ({rescale}); "
+                "normalization happens on device with the Model's "
+                "input_rescale. Pass the same value to "
+                "create_model(input_rescale=...) or batches will be "
+                "normalized with the default 1/255.", UserWarning)
 
         if reader not in ("cv", "PIL", "native"):
             raise ValueError(f"Invalid reader: {reader}")
@@ -257,6 +270,19 @@ class YoloDataSequence:
             img = self.preprocessing(img)
         labels = labels.astype(int)
 
+        if self.uint8 and np.issubdtype(np.asarray(img).dtype,
+                                        np.floating):
+            # a preprocessing/augmenter hook emitted floats; a silent
+            # C-cast into the uint8 buffer truncates fractions — and
+            # zeroes out normalized [0, 1] outputs entirely.
+            if float(np.max(img, initial=0.0)) <= 2.0:
+                raise ValueError(
+                    "uint8=True but a preprocessing/augmenter hook "
+                    "returned a normalized float image (max <= 2); "
+                    "storing it in the uint8 batch would zero it out. "
+                    "Return 0-255-valued images from hooks, or use "
+                    "uint8=False.")
+            img = np.clip(np.round(img), 0.0, 255.0)
         img_batch[pos] = img
         encode_to_grid(boxes, labels, img.shape[:2], self.grid_shape,
                        self.class_num, out=label_batch[pos])

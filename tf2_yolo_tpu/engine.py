@@ -530,7 +530,20 @@ class Model:
         step = make_train_step(self.module.apply, self._tx, loss_fns,
                                metric_fns, metric_names,
                                input_rescale=self.input_rescale)
-        if bn_stats_sg_scope is not None:
+        # Falsy (None/False/""/()) means "disabled" — such values must
+        # not reach set_bn_stats_stop_gradient, where tuple(False)
+        # raises; anything else must be True / a name / names.
+        if bn_stats_sg_scope:
+            if not (bn_stats_sg_scope is True
+                    or isinstance(bn_stats_sg_scope, str)
+                    or (isinstance(bn_stats_sg_scope, (list, tuple))
+                        and bn_stats_sg_scope
+                        and all(isinstance(s, str)
+                                for s in bn_stats_sg_scope))):
+                raise ValueError(
+                    "bn_stats_sg_scope must be None/False (off), True "
+                    "(everywhere), or a module-name str / sequence of "
+                    f"strs; got {bn_stats_sg_scope!r}")
             from .models.layers import bn_stats_sg_ctx
             scope = (None if bn_stats_sg_scope is True
                      else bn_stats_sg_scope)
@@ -749,6 +762,17 @@ class Model:
 
         is_sequence = (hasattr(x, "__getitem__") and y is None
                        and not isinstance(x, np.ndarray))
+        if is_sequence and getattr(x, "uint8", False):
+            seq_rescale = getattr(x, "rescale", None)
+            if seq_rescale is not None and not np.isclose(
+                    float(seq_rescale), self.input_rescale):
+                raise ValueError(
+                    f"uint8 sequence declares rescale={seq_rescale} "
+                    f"but this Model normalizes on device with "
+                    f"input_rescale={self.input_rescale}; pass "
+                    "create_model(input_rescale=...) / "
+                    "Model(input_rescale=...) to match (uint8 batches "
+                    "skip the host-side rescale).")
         initial_epoch = 0
         skip_batches = 0
         if resume:

@@ -110,6 +110,16 @@ class _LabelPyramidSequence:
         self.seq = seq
         self.num_levels = num_levels
 
+    # expose the feed-contract attrs so engine.fit can cross-check
+    # uint8 sequences against the model's input_rescale
+    @property
+    def uint8(self):
+        return self.seq.uint8
+
+    @property
+    def rescale(self):
+        return self.seq.rescale
+
     def __len__(self):
         return len(self.seq)
 

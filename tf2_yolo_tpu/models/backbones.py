@@ -16,7 +16,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from . import layers as _layers
-from .layers import ConvBN, ConvActBN, max_pool, upsample2x
+from .layers import (ConvBN, ConvActBN, max_pool, upsample2x,
+                     DARKNET_NORMAL)
 
 
 class DarknetV1(nn.Module):
@@ -208,7 +209,10 @@ class CSPResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype)
+        # v4 DarknetConv2D init: RandomNormal(0, 0.02)
+        # (reference yolov4/models/backbone.py:68)
+        kw = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+                  kernel_init=DARKNET_NORMAL)
         y = ConvBN(self.mid, 1, act="mish", **kw, name="squeeze")(x, train)
         y = ConvBN(self.out, 3, act="mish", **kw, name="expand")(y, train)
         return x + y
@@ -226,14 +230,16 @@ class CSPStage(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype)
+        mkw = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype)
+        # v4 DarknetConv2D init (reference yolov4/models/backbone.py:68)
+        kw = dict(**mkw, kernel_init=DARKNET_NORMAL)
         mid = self.features // 2 if self.narrow else self.features
         x = ConvBN(self.features, 3, 2, act="mish", **kw,
                    name="down")(x, train)
         cross = ConvBN(mid, 1, act="mish", **kw, name="cross")(x, train)
         x = ConvBN(mid, 1, act="mish", **kw, name="pre")(x, train)
         for b in range(self.blocks):
-            x = CSPResBlock(self.features // 2, mid, **kw,
+            x = CSPResBlock(self.features // 2, mid, **mkw,
                             name=f"block{b + 1}")(x, train)
         x = ConvBN(mid, 1, act="mish", **kw, name="post")(x, train)
         x = jnp.concatenate([x, cross], axis=-1)
@@ -334,6 +340,7 @@ class CSPDarknet53(nn.Module):
                     bq, h, w))
             else:
                 x = ConvBN(32, 3, act="mish", **kw,
+                           kernel_init=DARKNET_NORMAL,
                            name="stem")(x, train)
                 for i, (f, blocks, narrow) in enumerate(
                         self._SPECS[:2]):
@@ -352,7 +359,8 @@ class CSPDarknet53(nn.Module):
                 taps[f] = x
             return taps[256], taps[512], taps[1024]
         if section != "late":
-            x = ConvBN(32, 3, act="mish", **kw, name="stem")(x, train)
+            x = ConvBN(32, 3, act="mish", **kw,
+                       kernel_init=DARKNET_NORMAL, name="stem")(x, train)
         taps = {} if section != "late" else {256: x}
         for i, (f, blocks, narrow) in enumerate(self._SPECS):
             if section == "early" and i >= 3:
@@ -391,6 +399,10 @@ class Classifier(nn.Module):
             pooled = jnp.mean(feats, axis=(1, 2))
             return nn.softmax(pooled)
         pooled = jnp.mean(feats, axis=(1, 2))
+        # tf.keras Dense default init (the reference's classifier Dense
+        # at yolov1_5/models/darknet.py:19 uses it); flax's default is
+        # lecun_normal.
         logits = nn.Dense(self.class_num, param_dtype=jnp.float32,
+                          kernel_init=nn.initializers.glorot_uniform(),
                           dtype=self.dtype)(pooled)
         return nn.softmax(logits)

@@ -15,7 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .layers import ConvBN, SPP, upsample2x, space_to_depth
+from .layers import (ConvBN, SPP, upsample2x, space_to_depth,
+                     DARKNET_NORMAL)
 from .backbones import (DarknetV1, Darknet19, UNetBody, Darknet53,
                         TinyDarknet, CSPDarknet53)
 from .resnet import ResNet
@@ -151,10 +152,12 @@ class FPNStage(nn.Module):
     make_out: bool = True
     bn_axis_name: Optional[str] = None
     dtype: Any = jnp.float32
+    kernel_init: Any = None     # None -> ConvBN default (he_normal)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype)
+        kw = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+                  kernel_init=self.kernel_init)
         f = self.features
         for i, (ff, k) in enumerate(
                 [(f, 1), (f * 2, 3), (f, 1), (f * 2, 3), (f, 1)]):
@@ -259,6 +262,11 @@ class YoloV4(nn.Module):
         _check_pipeline_stage(
             pipeline_stage, extra=("backbone_early", "backbone_late"))
         kw = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype)
+        # v4 neck convs are reference DarknetConv2D: RandomNormal(0, 0.02)
+        # (reference yolov4/models/backbone.py:68); backbone constructors
+        # get the plain kw (CSP hardcodes the same init; resnet/custom
+        # backbones keep their own keras-parity defaults).
+        nkw = dict(**kw, kernel_init=DARKNET_NORMAL)
         if pipeline_stage in ("backbone_early", "backbone_late"):
             if callable(self.backbone) or \
                     self.backbone.startswith("resnet"):
@@ -284,38 +292,38 @@ class YoloV4(nn.Module):
             return (c3, c4, c5)
 
         # top-down path with SPP at the coarsest level
-        t_s = ConvBN(512, 1, act="leaky", **kw, name="td1_pre1")(c5, train)
-        t_s = ConvBN(1024, 3, act="leaky", **kw, name="td1_pre2")(t_s, train)
-        t_s = ConvBN(512, 1, act="leaky", **kw, name="td1_spp_pre")(
+        t_s = ConvBN(512, 1, act="leaky", **nkw, name="td1_pre1")(c5, train)
+        t_s = ConvBN(1024, 3, act="leaky", **nkw, name="td1_pre2")(t_s, train)
+        t_s = ConvBN(512, 1, act="leaky", **nkw, name="td1_spp_pre")(
             t_s, train)
         t_s = SPP(name="spp")(t_s)
-        t_s = ConvBN(512, 1, act="leaky", **kw, name="td1_post1")(t_s, train)
-        t_s = ConvBN(1024, 3, act="leaky", **kw, name="td1_post2")(
+        t_s = ConvBN(512, 1, act="leaky", **nkw, name="td1_post1")(t_s, train)
+        t_s = ConvBN(1024, 3, act="leaky", **nkw, name="td1_post2")(
             t_s, train)
-        t_s = ConvBN(512, 1, act="leaky", **kw, name="td1_post3")(t_s, train)
+        t_s = ConvBN(512, 1, act="leaky", **nkw, name="td1_post3")(t_s, train)
 
-        up = ConvBN(256, 1, act="leaky", **kw, name="td1_up")(t_s, train)
-        t_m = ConvBN(256, 1, act="leaky", **kw, name="td2_pre")(c4, train)
+        up = ConvBN(256, 1, act="leaky", **nkw, name="td1_up")(t_s, train)
+        t_m = ConvBN(256, 1, act="leaky", **nkw, name="td2_pre")(c4, train)
         t_m = jnp.concatenate([t_m, upsample2x(up)], axis=-1)
-        t_m, _ = FPNStage(256, make_out=False, **kw, name="td2")(t_m, train)
+        t_m, _ = FPNStage(256, make_out=False, **nkw, name="td2")(t_m, train)
 
-        up = ConvBN(128, 1, act="leaky", **kw, name="td2_up")(t_m, train)
-        t_l = ConvBN(128, 1, act="leaky", **kw, name="td3_pre")(c3, train)
+        up = ConvBN(128, 1, act="leaky", **nkw, name="td2_up")(t_m, train)
+        t_l = ConvBN(128, 1, act="leaky", **nkw, name="td3_pre")(c3, train)
         t_l = jnp.concatenate([t_l, upsample2x(up)], axis=-1)
-        t_l, _ = FPNStage(128, make_out=False, **kw, name="td3")(t_l, train)
+        t_l, _ = FPNStage(128, make_out=False, **nkw, name="td3")(t_l, train)
 
-        out_l = ConvBN(256, 3, act="leaky", **kw, name="out_l")(t_l, train)
+        out_l = ConvBN(256, 3, act="leaky", **nkw, name="out_l")(t_l, train)
 
         # bottom-up PAN re-downsamples
-        dn = ConvBN(256, 3, 2, act="leaky", **kw, name="bu1_dn")(t_l, train)
+        dn = ConvBN(256, 3, 2, act="leaky", **nkw, name="bu1_dn")(t_l, train)
         t_m = jnp.concatenate([dn, t_m], axis=-1)
-        t_m, _ = FPNStage(256, make_out=False, **kw, name="bu1")(t_m, train)
-        out_m = ConvBN(512, 3, act="leaky", **kw, name="out_m")(t_m, train)
+        t_m, _ = FPNStage(256, make_out=False, **nkw, name="bu1")(t_m, train)
+        out_m = ConvBN(512, 3, act="leaky", **nkw, name="out_m")(t_m, train)
 
-        dn = ConvBN(512, 3, 2, act="leaky", **kw, name="bu2_dn")(t_m, train)
+        dn = ConvBN(512, 3, 2, act="leaky", **nkw, name="bu2_dn")(t_m, train)
         t_s = jnp.concatenate([dn, t_s], axis=-1)
-        t_s, _ = FPNStage(512, make_out=False, **kw, name="bu2")(t_s, train)
-        out_s = ConvBN(1024, 3, act="leaky", **kw, name="out_s")(t_s, train)
+        t_s, _ = FPNStage(512, make_out=False, **nkw, name="bu2")(t_s, train)
+        out_s = ConvBN(1024, 3, act="leaky", **nkw, name="out_s")(t_s, train)
 
         feats = [out_s, out_m, out_l]      # coarse -> fine
         per_level = _split_anchors(self.anchors, len(feats))

@@ -25,6 +25,8 @@ from typing import Any, Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .layers import HE_NORMAL
+
 
 class HeadV1(nn.Module):
     """YOLOv1 head: sigmoid xywhc (5*B) + shared softmax classes (C)
@@ -38,7 +40,7 @@ class HeadV1(nn.Module):
         raw = nn.Conv(5 * self.bbox_num + self.class_num, (1, 1),
                       padding="SAME", dtype=self.dtype,
                       param_dtype=jnp.float32,
-                      kernel_init=nn.initializers.glorot_uniform(),
+                      kernel_init=HE_NORMAL,
                       name="conv")(x)
         raw = raw.astype(jnp.float32)
         xywhc = nn.sigmoid(raw[..., :5 * self.bbox_num])
@@ -62,7 +64,7 @@ class AnchorHead(nn.Module):
     prob_act: str = "sigmoid"
     anchors_as_params: bool = False
     dtype: Any = jnp.float32
-    kernel_init: Any = nn.initializers.glorot_uniform()
+    kernel_init: Any = HE_NORMAL
 
     @nn.compact
     def __call__(self, x):

@@ -12,11 +12,19 @@ TPU-first notes:
   - BatchNorm uses tf.keras defaults (momentum 0.99, eps 1e-3) for
     weight-transfer parity, and can sync statistics across a mesh axis
     (``bn_axis_name``) for multi-chip training.
-  - conv kernels init with glorot_uniform — the tf.keras default the
-    reference trains from. This is part of the TRAINING RECIPE, not
-    just convention: the round-4 v4 seed matrix measured
-    glorot+Adam-eps-1e-7 at ~2x the holdout mAP of he_normal+1e-8 on
-    32-image training runs (BASELINE.md).
+  - conv kernels init per the reference's own per-family recipe:
+    he_normal for the v1.5/v2/v3 families (set explicitly at reference
+    yolov1_5/models/backbone.py:13, yolov2/models/backbone.py:15-37,
+    yolov3/models/backbone.py:30) and RandomNormal(0.0, 0.02) for every
+    v4 DarknetConv2D (reference yolov4/models/backbone.py:68 forces it).
+    ConvBN's ``kernel_init=None`` resolves to HE_NORMAL; the v4 modules
+    pass DARKNET_NORMAL explicitly. The resnet/mobilenet backbones and
+    Dense classifier tops use glorot_uniform — the tf.keras default
+    their keras.applications counterparts are built with. (The round-4
+    "glorot ~2x he_normal" seed-matrix A/B was confounded: it moved
+    Adam eps 1e-8 -> 1e-7 in the same arm and compared v4 against
+    he_normal, which the reference never uses for v4 — see the
+    corrected round-5 matrix in BASELINE.md.)
 """
 
 from typing import Any, Optional, Sequence
@@ -26,6 +34,13 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.pallas.conv_bn_kernel import conv1x1_stats, conv3x3_stats
+
+# Reference per-family conv kernel initializers (see module docstring).
+# Both match tf.keras semantics: he_normal is a fan_in-scaled TRUNCATED
+# normal in keras and jax alike; DARKNET_NORMAL is the plain
+# RandomNormal(0, 0.02) the v4 DarknetConv2D forces.
+HE_NORMAL = nn.initializers.he_normal()
+DARKNET_NORMAL = nn.initializers.normal(stddev=0.02)
 
 # Default for ConvBN.fused (see set_fused_convbn). Module-global so the
 # whole model zoo switches without threading a flag through every
@@ -202,10 +217,11 @@ class _ConvKernel(nn.Module):
     features: int
     kernel: int
     use_bias: bool
+    kernel_init: Any = None               # None -> HE_NORMAL
 
     @nn.compact
     def __call__(self, ci):
-        k = self.param("kernel", nn.initializers.glorot_uniform(),
+        k = self.param("kernel", self.kernel_init or HE_NORMAL,
                        (self.kernel, self.kernel, ci, self.features),
                        jnp.float32)
         b = self.param("bias", nn.initializers.zeros_init(),
@@ -256,6 +272,7 @@ class ConvBN(nn.Module):
     fused: Optional[bool] = None
     bn_stats_sg: Optional[bool] = None    # see set_bn_stats_stop_gradient
     dtype: Any = jnp.float32
+    kernel_init: Any = None               # None -> HE_NORMAL (v1-v3 ref)
 
     def _bn_sg_active(self):
         if self.bn_stats_sg is not None:
@@ -307,7 +324,7 @@ class ConvBN(nn.Module):
         use_bias = (not self.use_bn) if self.use_bias is None \
             else self.use_bias
         k, b = _ConvKernel(self.features, self.kernel, use_bias,
-                           name="conv")(x.shape[-1])
+                           self.kernel_init, name="conv")(x.shape[-1])
         scale, bias, ra_mean, ra_var = _BNState(
             self.features, name="bn")()
         dt = self.dtype
@@ -354,7 +371,7 @@ class ConvBN(nn.Module):
         use_bias = (not self.use_bn) if self.use_bias is None \
             else self.use_bias
         k, b = _ConvKernel(self.features, self.kernel, use_bias,
-                           name="conv")(x.shape[-1])
+                           self.kernel_init, name="conv")(x.shape[-1])
         scale, bias, ra_mean, ra_var = _BNState(
             self.features, name="bn")()
         sx = self.get_variable("quant", "in_scale")
@@ -414,7 +431,7 @@ class ConvBN(nn.Module):
             use_bias=use_bias,
             dtype=self.dtype,
             param_dtype=jnp.float32,
-            kernel_init=nn.initializers.glorot_uniform(),
+            kernel_init=self.kernel_init or HE_NORMAL,
             name="conv")(x)
 
         if self.use_bn:
@@ -472,7 +489,7 @@ class ConvActBN(nn.Module):
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     padding="SAME", use_bias=True,
                     dtype=self.dtype, param_dtype=jnp.float32,
-                    kernel_init=nn.initializers.glorot_uniform(),
+                    kernel_init=HE_NORMAL,
                     name="conv")(x)
         x = _ACTS[self.act](x)
         x = nn.BatchNorm(use_running_average=not train,

@@ -12,6 +12,11 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
+# keras.applications parity: its Conv2D/Dense layers are built
+# with the tf.keras default glorot_uniform initializer (flax
+# defaults to lecun_normal, a silent from-scratch divergence).
+_GLOROT = nn.initializers.glorot_uniform()
+
 
 def relu6(x):
     return jnp.minimum(nn.relu(x), 6.0)
@@ -40,17 +45,17 @@ class InvertedResidual(nn.Module):
         if self.expand != 1:
             y = nn.Conv(in_ch * self.expand, (1, 1), use_bias=False,
                         dtype=self.dtype, param_dtype=jnp.float32,
-                        name="expand_conv")(y)
+                        name="expand_conv", kernel_init=_GLOROT)(y)
             y = relu6(bn("expand_bn")(y))
         mid = y.shape[-1]
         y = nn.Conv(mid, (3, 3), strides=(self.stride, self.stride),
                     padding="SAME", feature_group_count=mid,
                     use_bias=False, dtype=self.dtype,
-                    param_dtype=jnp.float32, name="dw_conv")(y)
+                    param_dtype=jnp.float32, name="dw_conv", kernel_init=_GLOROT)(y)
         y = relu6(bn("dw_bn")(y))
         y = nn.Conv(self.filters, (1, 1), use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32,
-                    name="project_conv")(y)
+                    name="project_conv", kernel_init=_GLOROT)(y)
         y = bn("project_bn")(y)
         if self.stride == 1 and in_ch == self.filters:
             y = x + y
@@ -79,7 +84,7 @@ class MobileNetV2(nn.Module):
         kw = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype)
         x = nn.Conv(32, (3, 3), strides=(2, 2), padding="SAME",
                     use_bias=False, dtype=self.dtype,
-                    param_dtype=jnp.float32, name="stem_conv")(x)
+                    param_dtype=jnp.float32, name="stem_conv", kernel_init=_GLOROT)(x)
         x = nn.BatchNorm(use_running_average=not train,
                          momentum=0.999, epsilon=1e-3,
                          dtype=self.dtype, param_dtype=jnp.float32,
@@ -96,7 +101,7 @@ class MobileNetV2(nn.Module):
                 i += 1
 
         x = nn.Conv(1280, (1, 1), use_bias=False, dtype=self.dtype,
-                    param_dtype=jnp.float32, name="head_conv")(x)
+                    param_dtype=jnp.float32, name="head_conv", kernel_init=_GLOROT)(x)
         x = nn.BatchNorm(use_running_average=not train,
                          momentum=0.999, epsilon=1e-3,
                          dtype=self.dtype, param_dtype=jnp.float32,

@@ -44,6 +44,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .layers import DARKNET_NORMAL
+
 from ..ops.pallas.packed_conv3x3 import fused_conv3x3
 from ..ops.pallas.packed_gemm import fused_gemm
 
@@ -168,6 +170,7 @@ class PackedConvBN3x3(nn.Module):
     def __call__(self, x, train: bool = True):
         from .layers import _BNState, _ConvKernel
         k, _ = _ConvKernel(self.features, self.kernel, False,
+                           DARKNET_NORMAL,
                            name="conv")(x.shape[-1] // self.p)
         scale, bias, ra_mean, ra_var = _BNState(
             self.features, name="bn")()
@@ -265,7 +268,7 @@ class PackedGemmConvBN(nn.Module):
             cin = inputs[0][0].shape[-1] // self.p
         else:
             cin = sum(x.shape[-1] for x, _ in inputs) // self.p
-        k, _ = _ConvKernel(self.features, 1, False,
+        k, _ = _ConvKernel(self.features, 1, False, DARKNET_NORMAL,
                            name="conv")(cin)
         scale, bias, ra_mean, ra_var = _BNState(
             self.features, name="bn")()
@@ -399,7 +402,7 @@ class PackedPallasConvBN3x3(nn.Module):
     @nn.compact
     def __call__(self, x2d, affine, spatial, train: bool = True):
         from .layers import _BNState, _ConvKernel
-        k, _ = _ConvKernel(self.features, 3, False,
+        k, _ = _ConvKernel(self.features, 3, False, DARKNET_NORMAL,
                            name="conv")(x2d.shape[-1] // self.p)
         scale, bias, ra_mean, ra_var = _BNState(
             self.features, name="bn")()

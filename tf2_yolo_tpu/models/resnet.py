@@ -16,6 +16,11 @@ from typing import Any, Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+# keras.applications parity: its Conv2D/Dense layers are built
+# with the tf.keras default glorot_uniform initializer (flax
+# defaults to lecun_normal, a silent from-scratch divergence).
+_GLOROT = nn.initializers.glorot_uniform()
+
 
 class BottleneckV1(nn.Module):
     """Post-activation bottleneck (keras resnet v1 ordering:
@@ -43,21 +48,21 @@ class BottleneckV1(nn.Module):
                                strides=(self.stride, self.stride),
                                dtype=self.dtype,
                                param_dtype=jnp.float32,
-                               name="short_conv")(x)
+                               name="short_conv", kernel_init=_GLOROT)(x)
             shortcut = bn("short_bn")(shortcut)
 
         y = nn.Conv(self.filters, (1, 1),
                     strides=(self.stride, self.stride),
                     dtype=self.dtype, param_dtype=jnp.float32,
-                    name="conv1")(x)
+                    name="conv1", kernel_init=_GLOROT)(x)
         y = nn.relu(bn("bn1")(y))
         y = nn.Conv(self.filters, (3, 3), padding="SAME",
                     dtype=self.dtype, param_dtype=jnp.float32,
-                    name="conv2")(y)
+                    name="conv2", kernel_init=_GLOROT)(y)
         y = nn.relu(bn("bn2")(y))
         y = nn.Conv(self.filters * 4, (1, 1),
                     dtype=self.dtype, param_dtype=jnp.float32,
-                    name="conv3")(y)
+                    name="conv3", kernel_init=_GLOROT)(y)
         y = bn("bn3")(y)
         return nn.relu(shortcut + y)
 
@@ -89,7 +94,7 @@ class BottleneckV2(nn.Module):
                                strides=(self.stride, self.stride),
                                dtype=self.dtype,
                                param_dtype=jnp.float32,
-                               name="short_conv")(pre)
+                               name="short_conv", kernel_init=_GLOROT)(pre)
         elif self.stride > 1:
             shortcut = nn.max_pool(x, (1, 1),
                                    (self.stride, self.stride), "SAME")
@@ -98,16 +103,16 @@ class BottleneckV2(nn.Module):
 
         y = nn.Conv(self.filters, (1, 1), use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32,
-                    name="conv1")(pre)
+                    name="conv1", kernel_init=_GLOROT)(pre)
         y = nn.relu(bn("bn1")(y))
         y = nn.Conv(self.filters, (3, 3),
                     strides=(self.stride, self.stride), padding="SAME",
                     use_bias=False, dtype=self.dtype,
-                    param_dtype=jnp.float32, name="conv2")(y)
+                    param_dtype=jnp.float32, name="conv2", kernel_init=_GLOROT)(y)
         y = nn.relu(bn("bn2")(y))
         y = nn.Conv(self.filters * 4, (1, 1),
                     dtype=self.dtype, param_dtype=jnp.float32,
-                    name="conv3")(y)
+                    name="conv3", kernel_init=_GLOROT)(y)
         return shortcut + y
 
 
@@ -135,7 +140,7 @@ class ResNet(nn.Module):
         x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding="VALID",
                     dtype=self.dtype, param_dtype=jnp.float32,
-                    name="stem_conv")(x)
+                    name="stem_conv", kernel_init=_GLOROT)(x)
         if not self.preact:
             x = nn.BatchNorm(use_running_average=not train,
                              momentum=0.99, epsilon=1.001e-5,

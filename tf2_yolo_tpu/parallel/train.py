@@ -203,10 +203,12 @@ def make_optimizer(optimizer="adam", learning_rate=1e-4,
     if isinstance(optimizer, optax.GradientTransformation):
         tx = optimizer
     elif optimizer == "adam":
-        # eps follows tf.keras (1e-7), not optax's 1e-8: together with
-        # glorot conv init this is the reference TRAINING RECIPE, and
-        # the v4 small-data seed matrix measured the recipe pair worth
-        # ~2x holdout mAP (BASELINE.md round-4 seed matrix)
+        # eps follows tf.keras (1e-7), not optax's 1e-8 — the epsilon
+        # the reference's compile("adam") actually trains with. The
+        # conv inits likewise follow the reference per family
+        # (models/layers.py docstring); the round-4 seed matrix that
+        # credited "glorot ~2x" was confounded with this eps change
+        # (corrected round-5 matrix in BASELINE.md).
         tx = optax.adam(learning_rate, eps=1e-7)
     elif optimizer == "adamw":
         tx = optax.adamw(learning_rate, eps=1e-7)

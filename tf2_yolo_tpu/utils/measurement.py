@@ -344,8 +344,15 @@ class PRfunc:
                 else np.zeros((0, 5), np.float64))
         if max_per_img is not None and len(flat):
             # per-(image, class) top-max_per_img by joint confidence:
-            # group rows by (img, cls), rank within group, keep top-k
-            order = np.lexsort((-flat[:, 0], flat[:, 1], flat[:, 4]))
+            # group rows by (img, cls), rank within group, keep top-k.
+            # Tie-break on exactly-equal confidences by LATER original
+            # row first (descending index key): the host path ranks
+            # with argsort(conf)[::-1], whose reversal keeps the last
+            # occurrence among equals — without this key a stable
+            # lexsort keeps the first and the kept set at the cap
+            # boundary can differ from the host on ties.
+            order = np.lexsort((-np.arange(len(flat)),
+                                -flat[:, 0], flat[:, 1], flat[:, 4]))
             flat = flat[order]
             n = len(flat)
             newg = np.ones(n, bool)

@@ -35,7 +35,8 @@ class Yolo(YoloBase):
     def create_model(self, bbox_num=2,
                      pretrained_weights=None,
                      pretrained_backbone=None,
-                     dtype=None):
+                     dtype=None,
+                     input_rescale=1 / 255):
         """Build the v1 model (reference yolov1_5/__init__.py:66-91).
 
         Args:
@@ -45,11 +46,15 @@ class Yolo(YoloBase):
                 ``backbone`` params are grafted in.
             dtype: conv/BN compute dtype (e.g. jnp.bfloat16 on TPU);
                 params and loss math stay f32.
+            input_rescale: on-device normalization factor for RAW
+                uint8 image batches (read_file_to_sequence
+                ``uint8=True``); match the sequence's ``rescale``.
         """
         import jax.numpy as jnp
         module = YoloV1(bbox_num=bbox_num, class_num=self.class_num,
                         dtype=dtype or jnp.float32)
-        self.model = Model(module, self.input_shape)
+        self.model = Model(module, self.input_shape,
+                           input_rescale=input_rescale)
 
         if pretrained_backbone is not None:
             src = (pretrained_backbone.params

@@ -34,7 +34,8 @@ class Yolo(YoloBase):
                      backbone="darknet",
                      pretrained_weights=None,
                      pretrained_backbone=None,
-                     dtype=None):
+                     dtype=None,
+                     input_rescale=1 / 255):
         """Build the v2 model (reference yolov2/__init__.py:69-105).
 
         Args:
@@ -42,6 +43,9 @@ class Yolo(YoloBase):
             backbone: "darknet", "unet", or "mobilenet".
             pretrained_weights: saved weight file path.
             pretrained_backbone: Model / params dict to graft.
+            input_rescale: on-device normalization factor for RAW
+                uint8 image batches (read_file_to_sequence
+                ``uint8=True``); match the sequence's ``rescale``.
         """
         valid = ("darknet", "unet", "mobilenet")
         if backbone not in valid:
@@ -50,7 +54,8 @@ class Yolo(YoloBase):
         import jax.numpy as jnp
         module = YoloV2(anchors=anchors, class_num=self.class_num,
                         backbone=backbone, dtype=dtype or jnp.float32)
-        self.model = Model(module, self.input_shape)
+        self.model = Model(module, self.input_shape,
+                           input_rescale=input_rescale)
 
         if isinstance(pretrained_backbone, str):
             # e.g. "imagenet" for the mobilenet backbone: resolve from

@@ -41,7 +41,8 @@ class Yolo(YoloBase):
                      backbone="full_darknet",
                      pretrained_weights=None,
                      pretrained_body="pascal_voc",
-                     dtype=None):
+                     dtype=None,
+                     input_rescale=1 / 255):
         """Build the v3 model (reference yolov3/__init__.py:100-181).
 
         backbone: "full_darknet", "tiny_darknet",
@@ -60,7 +61,8 @@ class Yolo(YoloBase):
         import jax.numpy as jnp
         module = YoloV3(anchors=anchors, class_num=self.class_num,
                         backbone=backbone, dtype=dtype or jnp.float32)
-        self.model = Model(module, self.input_shape)
+        self.model = Model(module, self.input_shape,
+                           input_rescale=input_rescale)
 
         if pretrained_body is not None and \
                 not isinstance(pretrained_body, str):

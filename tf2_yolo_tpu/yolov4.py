@@ -148,7 +148,8 @@ class Yolo(YoloBase):
                      backbone="csp_darknet",
                      pretrained_weights=None,
                      pretrained_body="ms_coco",
-                     dtype=None):
+                     dtype=None,
+                     input_rescale=1 / 255):
         """Build the v4 model (reference yolov4/__init__.py:190-276)."""
         use_arg_anchors = True
         if pretrained_weights is None:
@@ -175,7 +176,8 @@ class Yolo(YoloBase):
         import jax.numpy as jnp
         module = YoloV4(anchors=anchors, class_num=self.class_num,
                         backbone=backbone, dtype=dtype or jnp.float32)
-        self._model = Model(module, self.input_shape)
+        self._model = Model(module, self.input_shape,
+                           input_rescale=input_rescale)
         self._model.default_frozen = self._frozen_predicate()
 
         if pretrained_body is not None and \

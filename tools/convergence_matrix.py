@@ -237,6 +237,15 @@ def main():
     ap.add_argument("--bn-sg-scope", default=None,
                     help="restrict --bn-sg to modules whose path "
                          "contains this name (e.g. backbone)")
+    ap.add_argument("--kernel-init", choices=["default", "glorot"],
+                    default="default",
+                    help="'default' = the per-family reference inits "
+                         "(he_normal v1-v3, RandomNormal 0.02 v4 — "
+                         "models/layers.py); 'glorot' patches the "
+                         "body/neck conv inits to glorot_uniform for "
+                         "the recipe A/B (v4 head convs keep the "
+                         "reference normal-0.02, as in the round-4 "
+                         "arm; v2/v3 head convs keep he_normal)")
     args = ap.parse_args()
     class_probs = ([float(x) for x in args.imbalance.split(",")]
                    if args.imbalance else None)
@@ -252,6 +261,17 @@ def main():
         assert args.system == "ours", "--bn-sg only applies to ours"
         from tf2_yolo_tpu.models.layers import set_bn_stats_stop_gradient
         set_bn_stats_stop_gradient(True, scope=args.bn_sg_scope)
+
+    if args.kernel_init == "glorot":
+        assert args.system == "ours", "--kernel-init applies to ours"
+        from flax import linen as nn
+        from tf2_yolo_tpu.models import layers, backbones, detectors
+        g = nn.initializers.glorot_uniform()
+        # the init names are read from these module namespaces at
+        # trace time, so rebinding them before model build is enough
+        layers.HE_NORMAL = layers.DARKNET_NORMAL = g
+        backbones.DARKNET_NORMAL = g
+        detectors.DARKNET_NORMAL = g
 
     fn = run_ours if args.system == "ours" else run_reference
     m, train_s = fn(args.version, size, args.classes, args.images,
