@@ -177,6 +177,8 @@ def test_fit_uint8_sequence_rescale_mismatch_raises(dataset):
     yolo.model.compile("sgd", loss=yolo.loss())
     with pytest.raises(ValueError, match="input_rescale"):
         yolo.model.fit(seq, epochs=1, verbose=0)
+    with pytest.raises(ValueError, match="input_rescale"):
+        yolo.model.evaluate(seq, verbose=0)
 
 
 def test_facade_input_rescale_plumbs_to_engine(dataset):

@@ -628,6 +628,24 @@ class Model:
             return jnp.asarray(arr)
         return jnp.asarray(arr, jnp.float32)
 
+    def _check_uint8_seq(self, seq):
+        """Refuse a uint8 sequence whose declared rescale disagrees
+        with this model's on-device ``input_rescale`` — uint8 batches
+        skip the host-side rescale, so a mismatch silently trains/
+        evaluates on mis-normalized inputs."""
+        if not getattr(seq, "uint8", False):
+            return
+        seq_rescale = getattr(seq, "rescale", None)
+        if seq_rescale is not None and not np.isclose(
+                float(seq_rescale), self.input_rescale):
+            raise ValueError(
+                f"uint8 sequence declares rescale={seq_rescale} "
+                f"but this Model normalizes on device with "
+                f"input_rescale={self.input_rescale}; pass "
+                "create_model(input_rescale=...) / "
+                "Model(input_rescale=...) to match (uint8 batches "
+                "skip the host-side rescale).")
+
     @staticmethod
     def _place(arr, shard):
         """Put one batch array on the mesh. Single process: a plain
@@ -762,17 +780,8 @@ class Model:
 
         is_sequence = (hasattr(x, "__getitem__") and y is None
                        and not isinstance(x, np.ndarray))
-        if is_sequence and getattr(x, "uint8", False):
-            seq_rescale = getattr(x, "rescale", None)
-            if seq_rescale is not None and not np.isclose(
-                    float(seq_rescale), self.input_rescale):
-                raise ValueError(
-                    f"uint8 sequence declares rescale={seq_rescale} "
-                    f"but this Model normalizes on device with "
-                    f"input_rescale={self.input_rescale}; pass "
-                    "create_model(input_rescale=...) / "
-                    "Model(input_rescale=...) to match (uint8 batches "
-                    "skip the host-side rescale).")
+        if is_sequence:
+            self._check_uint8_seq(x)
         initial_epoch = 0
         skip_batches = 0
         if resume:
@@ -960,6 +969,7 @@ class Model:
         self._ensure_state()
         if hasattr(x, "__getitem__") and y is None \
                 and not isinstance(x, np.ndarray):
+            self._check_uint8_seq(x)
             iterator = (x.as_iterator() if hasattr(x, "as_iterator")
                         else (x[i] for i in range(len(x))))
         else:
