@@ -282,6 +282,15 @@ def test_split_yolov4_3stage_matches_full_apply_and_grads():
         ga = jax.tree_util.tree_leaves_with_path(got_g)
         wa = jax.tree_util.tree_leaves_with_path(want_gs)
         assert [p for p, _ in ga] == [p for p, _ in wa]
+        # an untrained net in EVAL mode (running stats at init values,
+        # RandomNormal-0.02 conv kernels) shrinks activations through
+        # the neck, so a few deep BN bias gradients vanish to ~1e-7
+        # norm while the stage's dominant leaves sit at ~1e-1; on such
+        # leaves the two compiled partitions' f32 noise is O(1e-9)
+        # absolute but O(1%) relative. Bound each leaf relatively OR
+        # absolutely against the stage's gradient scale.
+        stage_scale = max(float(np.linalg.norm(np.asarray(b)))
+                          for _, b in wa)
         for (pth, a), (_, b) in zip(ga, wa):
             # per-leaf relative L2: elementwise comparison is flaky on
             # the handful (~2 per million) of near-cancelled elements
@@ -289,8 +298,10 @@ def test_split_yolov4_3stage_matches_full_apply_and_grads():
             # partitions; the gradient AS A VECTOR must still agree
             a = np.asarray(a, np.float64)
             b = np.asarray(b, np.float64)
-            err = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
-            assert err < 1e-3, (pth, err)
+            abs_err = np.linalg.norm(a - b)
+            err = abs_err / (np.linalg.norm(b) + 1e-12)
+            assert err < 1e-3 or abs_err < 1e-7 * stage_scale, \
+                (pth, err, abs_err, stage_scale)
 
 
 def test_pipeline_save_load_merge(tmp_path):
