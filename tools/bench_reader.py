@@ -44,10 +44,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=256)
     ap.add_argument("--size", type=int, default=416)
+    ap.add_argument("--src-size", type=int, default=None,
+                    help="write source images at this size (default: "
+                         "--size); a larger value measures the real "
+                         "decode-big + resize-down ingest workload")
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--threads", type=int, default=4)
     ap.add_argument("--classes", type=int, default=3)
     ap.add_argument("--fit", action="store_true")
+    ap.add_argument("--uint8", action="store_true",
+                    help="fit row feeds raw uint8 batches (on-device "
+                         "normalization) — the recommended feed")
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--prefetch", type=int, default=2)
     args = ap.parse_args()
@@ -58,8 +65,9 @@ def main():
 
     root = tempfile.mkdtemp(prefix="bench_reader_")
     names = [f"c{i}" for i in range(args.classes)]
+    src_size = args.src_size or args.size
     img_dir, lab_dir = make_dataset(
-        root, n_images=args.n, size=(args.size, args.size),
+        root, n_images=args.n, size=(src_size, src_size),
         class_names=tuple(names), max_boxes=4)
 
     grid = (args.size // 8, args.size // 8)    # v4 finest level
@@ -82,7 +90,8 @@ def main():
         print(json.dumps({
             "reader_img_per_sec": round(rate, 1),
             "reader": reader, "threads": threads,
-            "size": args.size, "batch": args.batch, "n": args.n,
+            "size": args.size, "src_size": src_size,
+            "batch": args.batch, "n": args.n,
         }), flush=True)
 
     if not args.fit:
@@ -94,13 +103,16 @@ def main():
 
     yolo = yolov4.Yolo(input_shape=(args.size, args.size, 3),
                        class_names=names)
+    anchors = np.stack([np.linspace(0.05, 0.6, 9),
+                        np.linspace(0.05, 0.5, 9)], axis=1).tolist()
     yolo.create_model(
+        anchors=anchors,
         dtype=(jnp.bfloat16 if jax.devices()[0].platform != "cpu"
                else jnp.float32))
     seq = yolo.read_file_to_sequence(
         img_dir, lab_dir, batch_size=args.batch, shuffle=False,
         reader=("native" if native.available() else "PIL"),
-        thread_num=args.threads)
+        thread_num=args.threads, uint8=args.uint8)
     yolo.model.compile("adam", learning_rate=1e-3, loss=yolo.loss())
     hist = yolo.model.fit(seq, epochs=args.epochs, verbose=1,
                           prefetch=args.prefetch)
@@ -111,7 +123,7 @@ def main():
             round(args.n * len(steady) / sum(steady), 1),
         "epoch_s": [round(t, 2) for t in times],
         "reader": "native" if native.available() else "PIL",
-        "prefetch": args.prefetch,
+        "prefetch": args.prefetch, "uint8": args.uint8,
         "size": args.size, "batch": args.batch, "n": args.n,
     }), flush=True)
 
